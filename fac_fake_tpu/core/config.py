@@ -1,0 +1,224 @@
+"""Typed configuration tree with YAML overlays.
+
+Replaces the reference's scattered flag systems — optparse constants in
+``cvit_train.py:35-60``, hard-coded paths in ``cvit_prediction.py:47-53`` and
+the S3D YAML plan grid (``S3D/configs/*.yaml``, schema at ``plan1.yaml:1-17``)
+— with one dataclass tree. Every field has a typed default; YAML/dict overlays
+and ``a.b.c=value`` dotted CLI overrides update it in place.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, List, Optional, Tuple
+
+
+# ---------------------------------------------------------------------------
+# overlay machinery
+# ---------------------------------------------------------------------------
+
+def _coerce(value: Any, typ: Any) -> Any:
+    """Best-effort coercion of YAML/CLI scalars into the declared field type."""
+    if value is None:
+        return None
+    origin = getattr(typ, "__origin__", None)
+    if origin is not None:
+        args = [a for a in typ.__args__ if a is not type(None)]
+        if origin is tuple:
+            inner = args[0] if args else Any
+            return tuple(_coerce(v, inner) for v in value)
+        if origin is list:
+            inner = args[0] if args else Any
+            return [_coerce(v, inner) for v in value]
+        if len(args) == 1:  # Optional[T]
+            return _coerce(value, args[0])
+        return value
+    if typ is bool and isinstance(value, str):
+        return value.lower() in ("1", "true", "yes", "y")
+    if typ in (int, float, str) and not isinstance(value, typ):
+        return typ(value)
+    return value
+
+
+def apply_overrides(cfg: Any, overrides: dict) -> Any:
+    """Recursively apply a nested dict of overrides to a dataclass tree."""
+    for key, value in overrides.items():
+        if not hasattr(cfg, key):
+            raise KeyError(f"unknown config field {type(cfg).__name__}.{key}")
+        current = getattr(cfg, key)
+        if is_dataclass(current) and isinstance(value, dict):
+            apply_overrides(current, value)
+        else:
+            ftype = {f.name: f.type for f in fields(cfg)}[key]
+            setattr(cfg, key, _coerce(value, ftype))
+    return cfg
+
+
+def apply_dotted(cfg: Any, dotted: List[str]) -> Any:
+    """Apply ``a.b.c=value`` style overrides (CLI)."""
+    import ast
+
+    for item in dotted:
+        path, _, raw = item.partition("=")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        node: dict = {}
+        leaf = node
+        parts = path.split(".")
+        for p in parts[:-1]:
+            leaf[p] = {}
+            leaf = leaf[p]
+        leaf[parts[-1]] = value
+        apply_overrides(cfg, node)
+    return cfg
+
+
+def load_yaml(cfg: Any, path: str) -> Any:
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    return apply_overrides(cfg, data)
+
+
+def to_dict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+# ---------------------------------------------------------------------------
+# config tree
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MeshConfig:
+    """Device mesh. Axes: data (batch), model (tensor parallel).
+
+    Supersedes the reference's gloo process group
+    (``S3D-train-GPUs.py:196-214``): sharding is declared, XLA inserts the
+    collectives over ICI.
+    """
+    data: int = -1          # -1: all remaining devices
+    model: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+@dataclass
+class ModelConfig:
+    name: str = "cvit"             # registry key: cvit, cvit_repbn8, reskan, ...
+    image_size: int = 224
+    patch_size: int = 7
+    num_classes: int = 2
+    channels: int = 512
+    dim: int = 1024
+    depth: int = 6
+    heads: int = 8
+    mlp_dim: int = 2048
+    # `legacy`: reference's 32-row batch-indexed pos-embedding
+    # (cvit.py:154,174-175); `patch`: standard per-position embedding.
+    pos_embedding_mode: str = "legacy"
+    # S3D-family knobs (S3D/model.py:7-16, configs/plan*.yaml)
+    srm_net: bool = False
+    num_class: int = 1
+    # compute dtype: float32 | bfloat16 (params always fp32)
+    dtype: str = "float32"
+
+
+@dataclass
+class AugmentConfig:
+    """On-device augmentation pipeline (replaces albumentations strong_aug,
+    ``CViT-main/helpers/augmentation.py:9-26``)."""
+    enabled: bool = True
+    prob: float = 0.5
+    hflip: bool = True
+    vflip: bool = True
+    rot90: bool = True
+    transpose: bool = True
+    gauss_noise: bool = True
+    brightness_contrast: bool = True
+    hue_saturation: bool = True
+    color_jitter: bool = True
+    rotation_deg: float = 17.0
+    to_gray: bool = False
+
+
+@dataclass
+class DataConfig:
+    train_dir: str = ""
+    val_dir: str = ""
+    test_dir: str = ""
+    batch_size: int = 32
+    eval_batch_size: int = 32
+    num_workers: int = 4
+    shuffle_seed: int = 4          # reference: shuffle_dataset seed 4 (S3D/utils.py:54-58)
+    frames_per_video: int = 20     # S3D clips
+    image_size: int = 224
+    # frame sampling policy for video scoring: fraction + jump
+    # (cvit_prediction.py:165-177 samples 10% of frames, seek step 5)
+    sample_fraction: float = 0.1
+    frame_jump: int = 5
+    max_faces_per_frame: int = 5   # cvit_prediction.py:110-118
+    max_faces_per_video: int = 30  # face_tensor cap (cvit_prediction.py:158)
+    mask_method: str = "none"      # none | black | noise (S3D face masking)
+    mask_number: int = 4
+    picture_color: str = "rgb"     # rgb | gray
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
+
+
+@dataclass
+class OptimConfig:
+    name: str = "adam"
+    lr: float = 1e-4
+    weight_decay: float = 1e-7
+    # schedules: plateau (ReduceLROnPlateau, cvit_train.py:81), step
+    # (ResKan_train.py:84), cosine (S3D-train.py:204-205), const
+    schedule: str = "plateau"
+    plateau_factor: float = 0.5
+    plateau_patience: int = 3
+    step_size: int = 15
+    step_gamma: float = 0.1
+    cosine_lrf: float = 0.1
+    scale_lr_by_data_parallel: bool = False  # reference: lr × world_size (S3D-train-GPUs.py:220)
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 50
+    loss: str = "cross_entropy"    # cross_entropy | bce_weighted
+    rebalance_pos_weight: bool = True  # BCEWithLogits pos_weight=real/fake (S3D-train.py:264-273)
+    patience: int = 0              # early stop on val loss; 0 = off
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_every: int = 10     # epochs (S3D-train.py:426-429)
+    resume: str = ""
+    seed: int = 0
+    log_every: int = 20            # batches (cvit_train.py:149-153)
+    tensorboard_dir: str = ""
+    optim: OptimConfig = field(default_factory=OptimConfig)
+
+
+@dataclass
+class InferConfig:
+    weights: str = ""
+    video_dir: str = ""
+    metadata: str = ""
+    save_csv: str = "predictions.csv"
+    detector: str = "blazeface"    # blazeface | face_recognition | mtcnn
+    # parity: replicate reference chunk boundaries 0:32/32:64/64:90 and the
+    # per-chunk pos-embedding row assignment (cvit_prediction.py:224-238)
+    parity_chunking: bool = True
+    batch_crops: int = 96          # padded crop capacity per video (3 × 32)
+    no_face_score: float = 0.5
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    infer: InferConfig = field(default_factory=InferConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+def default_config() -> Config:
+    return Config()

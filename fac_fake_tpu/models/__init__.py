@@ -1,0 +1,9 @@
+"""Model zoo. Importing this package registers every model builder."""
+from fac_fake_tpu.core.registry import available, get
+
+from . import cvit  # noqa: F401  (registers cvit, cvit_repbn8)
+
+
+def build_model(cfg):
+    """Construct a model from a ModelConfig via the registry."""
+    return get("model", cfg.name)(cfg)

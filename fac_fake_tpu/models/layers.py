@@ -1,0 +1,185 @@
+"""Shared model building blocks (Flax linen, NHWC, TPU-native layouts).
+
+Re-designs the transformer/stem pieces shared by the reference's CViT family
+(`/root/reference/CViT-main/model/cvit.py:5-78` and every variant file) as a
+single parameterized implementation. All convolutions run NHWC (XLA's
+preferred TPU layout); checkpoint ingestion transposes torch OIHW → HWIO.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# torch BatchNorm defaults: eps=1e-5, momentum=0.1 (flax decay = 0.9)
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.9
+
+
+class TorchBatchNorm(nn.BatchNorm):
+    """BatchNorm with torch-default hyperparameters.
+
+    Cross-replica sync (the SyncBatchNorm equivalent,
+    `S3D-train-GPUs.py:330`) comes for free from `axis_name`: batch stats are
+    `lax.pmean`-ed over the data axis when set.
+    """
+
+    use_running_average: Optional[bool] = None
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+
+
+def conv3x3(features: int, dtype: Dtype = jnp.float32, name: Optional[str] = None,
+            use_bias: bool = True) -> nn.Conv:
+    return nn.Conv(features, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                   use_bias=use_bias, dtype=dtype, name=name)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Reference CViT attention (`model/cvit.py:34-62`), vectorized.
+
+    Quirk preserved: the softmax scale is ``dim ** -0.5`` on the *model*
+    dimension, not the per-head dimension (`model/cvit.py:38`).
+    """
+    dim: int
+    heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        b, n, d = x.shape
+        h = self.heads
+        head_dim = self.dim // h
+        scale = self.dim ** -0.5
+
+        qkv = nn.Dense(self.dim * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        # layout (b, n, 3, h, head_dim) matches torch's '(qkv h d)' packing
+        qkv = qkv.reshape(b, n, 3, h, head_dim)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # (b,h,n,hd)
+
+        dots = jnp.einsum("bhid,bhjd->bhij", q, k,
+                          preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            # reference pads a True for the cls token then outer-products
+            pad = jnp.ones((b, 1), dtype=bool)
+            m = jnp.concatenate([pad, mask.reshape(b, -1)], axis=1)
+            m2 = m[:, None, :] & m[:, :, None]
+            dots = jnp.where(m2[:, None, :, :], dots, jnp.finfo(dots.dtype).min)
+        attn = jax.nn.softmax(dots, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+
+
+class FeedForward(nn.Module):
+    """dim → hidden (GELU) → dim (`model/cvit.py:22-32`)."""
+    dim: int
+    hidden_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+
+
+class RepBN(nn.Module):
+    """Re-parameterizable BatchNorm over the token sequence:
+    ``BN1d(x^T)^T + alpha * x`` (`cvit_GGCA_ADD_DEConv_RepBn8.py:9-19`).
+
+    The BatchNorm treats the model dim as channels, normalizing each channel
+    over (batch, tokens).
+    """
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        alpha = self.param("alpha", nn.initializers.ones, (1,), jnp.float32)
+        bn = TorchBatchNorm(use_running_average=not train, dtype=self.dtype, name="bn")
+        return bn(x) + alpha * x
+
+
+class LinearNorm(nn.Module):
+    """Schedule-blended LayerNorm→RepBN (`cvit_GGCA_ADD_DEConv_RepBn8.py:22-46`).
+
+    Buffers ``warm``/``iter`` live in the ``schedule`` collection and tick
+    down once per *training* forward, matching the reference's in-place buffer
+    mutation. Eval path is pure LayerNorm.
+    """
+    dim: int
+    warm: int = 0
+    step: int = 300000
+    r0: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        # LayerNorm eps matches the reference's partial(nn.LayerNorm, eps=1e-6)
+        ln = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")
+        repbn = RepBN(self.dim, dtype=self.dtype, name="norm2")
+        warm = self.variable("schedule", "warm",
+                             lambda: jnp.asarray(self.warm, jnp.int32))
+        it = self.variable("schedule", "iter",
+                           lambda: jnp.asarray(self.step, jnp.int32))
+
+        if not train:
+            return ln(x)
+
+        in_warmup = warm.value > 0
+        lamda = (self.r0 * it.value.astype(jnp.float32) / float(self.step))
+        x1 = ln(x)
+        x2 = repbn(x, train=True)
+        blended = lamda * x1 + (1.0 - lamda) * x2
+        out = jnp.where(in_warmup, x1, blended)
+        if not self.is_initializing():
+            warm.value = jnp.where(in_warmup, warm.value - 1, warm.value)
+            it.value = jnp.where(jnp.logical_and(~in_warmup, it.value > 0),
+                                 it.value - 1, it.value)
+        return out
+
+
+class TransformerEncoder(nn.Module):
+    """depth × (PreNorm-Attention + PreNorm-FFN) with residuals
+    (`model/cvit.py:64-78`). ``ffn_norm`` selects 'ln' (base) or 'linearnorm'
+    (RepBN variants, `cvit_GGCA_ADD_DEConv_RepBn8.py:126-134` — attention keeps
+    plain LN, only the FFN pre-norm is re-parameterized)."""
+    dim: int
+    depth: int
+    heads: int
+    mlp_dim: int
+    ffn_norm: str = "ln"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
+        for i in range(self.depth):
+            h = nn.LayerNorm(dtype=self.dtype, name=f"attn_norm{i}")(x)
+            x = x + MultiHeadSelfAttention(self.dim, self.heads, dtype=self.dtype,
+                                           name=f"attn{i}")(h, mask)
+            if self.ffn_norm == "linearnorm":
+                h = LinearNorm(self.dim, dtype=self.dtype, name=f"ffn_norm{i}")(x, train)
+            else:
+                h = nn.LayerNorm(dtype=self.dtype, name=f"ffn_norm{i}")(x)
+            x = x + FeedForward(self.dim, self.mlp_dim, dtype=self.dtype,
+                                name=f"ffn{i}")(h)
+        return x
+
+
+class MLPHead(nn.Module):
+    """dim → mlp_dim (ReLU) → num_classes (`model/cvit.py:161-165`)."""
+    mlp_dim: int
+    num_classes: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.relu(x)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(x)

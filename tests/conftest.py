@@ -1,0 +1,35 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX initializes.
+
+The reference has no test suite (SURVEY.md §4); this framework creates one. All
+multi-device tests run on a virtual 8-device CPU backend so the full
+pjit/sharding path is exercised without TPU hardware.
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # tests always run on the virtual CPU mesh
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize imports jax at interpreter startup, latching
+# JAX_PLATFORMS before this file runs — override through the config API too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def has_reference():
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason="reference repo not mounted"
+)
