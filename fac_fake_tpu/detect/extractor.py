@@ -1,0 +1,161 @@
+"""Face extraction orchestration: frames → tiles → batched BlazeFace →
+frame-space detections → face crops.
+
+Re-designs `/root/reference/CViT-main/helpers/helpers_face_extract_1.py`
+(371 LoC of per-frame Python loops) into one device-side pipeline:
+
+  * tiling geometry (`_tile_frames`, `:139-208`): square `min(H,W)` windows,
+    3 across for landscape, 1 for portrait — host cv2 INTER_AREA resize to
+    128×128 (tiles are small: detector upload is ~50 KB/tile);
+  * detection + anchor decode run as ONE jitted batch over
+    frames × tiles (`process_videos`' batch concat, `:23-131`);
+  * tile→frame coordinate mapping (`_resize_detections`/`_untile_detections`,
+    `:210-278`) is a vectorized affine: box coords scale by `split_size`,
+    then per-tile offsets — boxes are (y,x) ordered, keypoints (x,y);
+  * per-frame weighted NMS over all tiles' anchors in one vmapped scan;
+  * margin expansion with 2× top margin for foreheads
+    (`_add_margin_to_detections`, `:280-299`) fused into the same jit.
+
+Crop pixel extraction stays on host (variable-size slices of the original
+frames, parity with cv2 semantics).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fac_fake_tpu.detect.blazeface import BlazeFace, weighted_nms
+
+MAX_FACES = 8
+
+
+def tile_geometry(h: int, w: int) -> Tuple[int, int, List[Tuple[int, int]]]:
+    """split_size, num_tiles, [(y_off, x_off)] — `_tile_frames:187-191`."""
+    split = min(h, w)
+    x_step = (w - split) // 2
+    num_h = 3 if w > h else 1
+    offsets = [(0, x_step * i) for i in range(num_h)]
+    return split, num_h, offsets
+
+
+def make_tiles(frames: np.ndarray, target: int = 128) -> Tuple[np.ndarray, int, np.ndarray]:
+    """(F, H, W, 3) uint8 → (F·T, 128, 128, 3) uint8 + split_size + offsets."""
+    import cv2
+    f, h, w, _ = frames.shape
+    split, num_t, offsets = tile_geometry(h, w)
+    tiles = np.zeros((f * num_t, target, target, 3), np.uint8)
+    i = 0
+    for fi in range(f):
+        for (y, x) in offsets:
+            crop = frames[fi, y:y + split, x:x + split]
+            tiles[i] = cv2.resize(crop, (target, target), interpolation=cv2.INTER_AREA)
+            i += 1
+    return tiles, split, np.asarray(offsets, np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_tiles", "margin"))
+def _frame_detections(dets: jnp.ndarray, valid: jnp.ndarray, split: jnp.ndarray,
+                      offsets: jnp.ndarray, frame_hw: jnp.ndarray,
+                      num_tiles: int, margin: float = 0.2):
+    """(F·T, 896, 17) tile detections → per-frame (F, MAX_FACES, 17) in frame
+    coordinates with margins applied, plus validity mask."""
+    ft = dets.shape[0]
+    f = ft // num_tiles
+    dets = dets.reshape(f, num_tiles, -1, 17)
+    valid = valid.reshape(f, num_tiles, -1)
+
+    y_off = offsets[:, 0][None, :, None]
+    x_off = offsets[:, 1][None, :, None]
+    # boxes: even idx = y, odd = x (`_resize_detections:226-229` then
+    # `_untile_detections:264-269`); keypoints: even = x, odd = y.
+    box_y = dets[..., 0:4:2] * split + y_off[..., None]
+    box_x = dets[..., 1:4:2] * split + x_off[..., None]
+    kp_x = dets[..., 4:16:2] * split + x_off[..., None]
+    kp_y = dets[..., 5:16:2] * split + y_off[..., None]
+
+    out = jnp.zeros_like(dets)
+    out = out.at[..., 0:4:2].set(box_y).at[..., 1:4:2].set(box_x)
+    out = out.at[..., 4:16:2].set(kp_x).at[..., 5:16:2].set(kp_y)
+    out = out.at[..., 16].set(dets[..., 16])
+
+    flat = out.reshape(f, -1, 17)
+    flat_valid = valid.reshape(f, -1)
+    faces, mask = jax.vmap(functools.partial(weighted_nms, max_out=MAX_FACES))(
+        flat, flat_valid)
+
+    # margin expansion (2× above the forehead)
+    off = jnp.round(margin * (faces[:, :, 2] - faces[:, :, 0]))
+    fh, fw = frame_hw[0], frame_hw[1]
+    faces = faces.at[:, :, 0].set(jnp.clip(faces[:, :, 0] - off * 2, 0))
+    faces = faces.at[:, :, 1].set(jnp.clip(faces[:, :, 1] - off, 0))
+    faces = faces.at[:, :, 2].set(jnp.minimum(faces[:, :, 2] + off, fh))
+    faces = faces.at[:, :, 3].set(jnp.minimum(faces[:, :, 3] + off, fw))
+    return faces, mask
+
+
+class FaceExtractor:
+    """frames → face crops. `video_read_fn` as in the reference
+    (`helpers_face_extract_1.py:10-21`)."""
+
+    def __init__(self, video_read_fn, detector: Optional[BlazeFace] = None):
+        self.video_read_fn = video_read_fn
+        self.detector = detector or BlazeFace.from_reference_assets()
+
+    def process_video(self, video_path: str):
+        result = self.video_read_fn(video_path)
+        if result is None:
+            return []
+        frames, idxs = result
+        return self.process_frames(frames, idxs)
+
+    def process_frames(self, frames: np.ndarray, idxs=None):
+        """Returns the reference's list-of-frame-dict structure
+        (video_idx omitted): frame_idx, frame_w/h, faces, scores."""
+        f, h, w, _ = frames.shape
+        idxs = list(range(f)) if idxs is None else idxs
+        tiles, split, offsets = make_tiles(frames)
+        num_tiles = len(offsets)
+
+        dets, valid = self.detector.predict_on_batch(tiles, apply_nms=False)
+        faces, mask = _frame_detections(
+            dets, valid, jnp.float32(split), jnp.asarray(offsets),
+            jnp.asarray([h, w], jnp.float32), num_tiles)
+        faces = np.asarray(faces)
+        mask = np.asarray(mask)
+
+        out = []
+        for i in range(f):
+            crops, scores = [], []
+            for j in range(MAX_FACES):
+                if not mask[i, j]:
+                    continue
+                ymin, xmin, ymax, xmax = faces[i, j, :4].astype(int)
+                crop = frames[i, ymin:ymax, xmin:xmax]
+                if crop.size:
+                    crops.append(crop)
+                    scores.append(float(faces[i, j, 16]))
+            out.append({"frame_idx": idxs[i], "frame_w": w, "frame_h": h,
+                        "faces": crops, "scores": scores})
+        return out
+
+    @staticmethod
+    def keep_only_best_face(crops):
+        """`helpers_face_extract_1.py:347-360` (NMS order is score-desc, so
+        face 0 is the most confident)."""
+        for fd in crops:
+            fd["faces"] = fd["faces"][:1]
+            fd["scores"] = fd["scores"][:1]
+
+    @staticmethod
+    def remove_large_crops(crops, pct: float = 0.1):
+        """`helpers_face_extract_1.py:319-345`."""
+        for fd in crops:
+            area = fd["frame_w"] * fd["frame_h"]
+            keep = [(f, s) for f, s in zip(fd["faces"], fd["scores"])
+                    if f.shape[0] * f.shape[1] / area < pct]
+            fd["faces"] = [f for f, _ in keep]
+            fd["scores"] = [s for _, s in keep]

@@ -1,0 +1,153 @@
+"""Video forgery scorer: videos → frames → face crops → batched CViT → prob.
+
+Re-designs the reference's main inference path (`cvit_prediction.py:153-255`,
+call stack SURVEY.md §3.1) TPU-first:
+
+  * the reference's ≤32-crop chunk loop (0:32/32:64/64:90, forced by the
+    batch-indexed pos-embedding) becomes ONE padded, jitted forward with a
+    per-row pos-embedding gather `idx % 32` — bit-identical row assignment
+    (tests/test_cvit_parity.py), no recompiles, full MXU batches;
+  * crops upload as uint8 (4× fewer bytes than fp32 through the host link);
+    /255 + ImageNet normalize (`cvit_prediction.py:41-45,214-215`) are fused
+    into the jitted graph;
+  * detection uses the in-repo BlazeFace (the reference's dlib path is an
+    external C++ lib; BlazeFace is its own vendored detector —
+    `cvit_prediction.py:124-147`), up to 5 faces/frame and 29/video matching
+    `face_face_rec`'s caps (`:106-121,194`);
+  * aggregation is `aggregate_probs` — exact reference semantics.
+
+The per-video host work (decode + detect) overlaps device compute via a
+thread pool (the reference's ThreadPoolExecutor, `:73-83`, kept but actually
+safe here: JAX dispatch is thread-safe, the model is pure).
+"""
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fac_fake_tpu.core.config import Config
+from fac_fake_tpu.infer.aggregate import aggregate_probs
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+CHUNK = 32          # reference transformer batch cap
+UPPER_BOUND = 90    # crops beyond 90 are dropped (`cvit_prediction.py:236`)
+
+
+class VideoScorer:
+    def __init__(self, model, variables, cfg: Optional[Config] = None,
+                 detector=None, reader=None):
+        from fac_fake_tpu.core.config import Config as _C
+        self.cfg = cfg or _C()
+        self.model = model
+        self.variables = jax.device_put(variables)
+        self._detector = detector
+        self._reader = reader
+        self.capacity = self.cfg.infer.batch_crops
+        legacy = getattr(model, "pos_mode", "legacy") == "legacy"
+
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+
+        def score_fn(v, crops_u8, count):
+            x = crops_u8.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            if legacy:
+                pos_idx = jnp.arange(self.capacity) % CHUNK
+                logits = model.apply(v, x, train=False, pos_indices=pos_idx)
+            else:
+                logits = model.apply(v, x, train=False)
+            return aggregate_probs(logits, jnp.minimum(count, UPPER_BOUND))
+
+        self._score = jax.jit(score_fn)
+
+    # --- lazily built host-side helpers -------------------------------
+    @property
+    def detector(self):
+        if self._detector is None:
+            from fac_fake_tpu.detect.blazeface import BlazeFace
+            self._detector = BlazeFace.from_reference_assets()
+        return self._detector
+
+    @property
+    def reader(self):
+        if self._reader is None:
+            from fac_fake_tpu.data.video import VideoReader
+            self._reader = VideoReader()
+        return self._reader
+
+    # --- crop gathering ------------------------------------------------
+    def gather_crops(self, video_path: str) -> np.ndarray:
+        """Sample frames with the reference policy and collect up to 29 face
+        crops (≤5 per frame), 224×224 uint8 RGB."""
+        import cv2
+        from fac_fake_tpu.data.video import predict_indices
+        from fac_fake_tpu.detect.extractor import FaceExtractor
+
+        n = self.reader.frame_count(video_path)
+        if n <= 0:
+            return np.zeros((0, 224, 224, 3), np.uint8)
+        idxs = predict_indices(n, self.cfg.data.sample_fraction,
+                               self.cfg.data.frame_jump)
+        result = self.reader.read_frames_at_indices(video_path, sorted(set(idxs)))
+        if result is None:
+            return np.zeros((0, 224, 224, 3), np.uint8)
+        frames, read = result
+        # re-expand duplicates in policy order
+        pos = {f: i for i, f in enumerate(read)}
+        ordered = [frames[pos[i]] for i in idxs if i in pos]
+        if not ordered:
+            return np.zeros((0, 224, 224, 3), np.uint8)
+
+        extractor = FaceExtractor(None, self.detector)
+        size = self.cfg.data.image_size
+        crops: List[np.ndarray] = []
+        for fd in extractor.process_frames(np.stack(ordered)):
+            for face in fd["faces"][: self.cfg.data.max_faces_per_frame]:
+                if len(crops) >= 29:  # reference cap (`cvit_prediction.py:194`)
+                    break
+                crops.append(cv2.resize(face, (size, size),
+                                        interpolation=cv2.INTER_AREA))
+        if not crops:
+            return np.zeros((0, size, size, 3), np.uint8)
+        return np.stack(crops)
+
+    # --- scoring ---------------------------------------------------------
+    def score_crops(self, crops_u8: np.ndarray) -> float:
+        """Score a stack of uint8 RGB 224² crops (the bit-parity surface:
+        given identical crops, matches the reference pipeline)."""
+        n = int(crops_u8.shape[0])
+        if n == 0:
+            return float(self.cfg.infer.no_face_score)
+        cap = self.capacity
+        padded = np.zeros((cap, *crops_u8.shape[1:]), np.uint8)
+        padded[: min(n, cap)] = crops_u8[:cap]
+        prob = self._score(self.variables, jnp.asarray(padded),
+                           jnp.asarray(min(n, cap), jnp.int32))
+        return float(prob)
+
+    def score_video(self, video_path: str) -> float:
+        return self.score_crops(self.gather_crops(video_path))
+
+    def score_videos(self, paths: Sequence[str], num_workers: int = 1) -> List[float]:
+        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+            return list(ex.map(self.score_video, paths))
+
+    def predict_to_csv(self, video_dir: str, save_csv: str,
+                       num_workers: int = 1):
+        """Directory scan + CSV dump, schema `filename,label`
+        (`cvit_prediction.py:342-343`)."""
+        import pandas as pd
+        filenames = sorted(f for f in os.listdir(video_dir) if f.endswith(".mp4"))
+        preds = self.score_videos([os.path.join(video_dir, f) for f in filenames],
+                                  num_workers)
+        df = pd.DataFrame({"filename": filenames, "label": preds})
+        os.makedirs(os.path.dirname(save_csv) or ".", exist_ok=True)
+        df.to_csv(save_csv, index=False)
+        return df

@@ -1,0 +1,97 @@
+"""Inference pipeline: frame policies, aggregation semantics, end-to-end
+video scoring on the reference's sample fixtures."""
+import numpy as np
+import pytest
+
+from conftest import requires_reference
+
+SAMPLE = "/root/reference/CViT-main/sample__prediction_data/aajsqyyjni.mp4"
+
+
+def test_predict_indices_match_reference_seek_pattern():
+    """cvit_prediction.py:160-198 reads frame 0 twice, then strides by 5,
+    for int(0.1·length) iterations."""
+    from fac_fake_tpu.data.video import predict_indices
+    assert predict_indices(300) == [0, 0] + [5 * j for j in range(1, 29)]
+    assert predict_indices(10) == [0]
+    assert predict_indices(5) == []
+
+
+def test_evenly_spaced_indices():
+    from fac_fake_tpu.data.video import evenly_spaced_indices
+    idx = evenly_spaced_indices(100, 10)
+    assert idx[0] == 0 and idx[-1] == 99 and len(idx) == 10
+
+
+def test_aggregate_semantics():
+    import jax.numpy as jnp
+    from fac_fake_tpu.infer.aggregate import aggregate_probs
+
+    def sig(v):
+        return 1 / (1 + np.exp(-v))
+
+    # <3 crops -> 0.5 regardless of logits
+    logits = np.zeros((8, 2), np.float32)
+    logits[:2] = [[5, -5], [5, -5]]
+    assert float(aggregate_probs(jnp.asarray(logits), jnp.asarray(2))) == 0.5
+
+    # fake column wins -> mean fake prob
+    logits = np.zeros((8, 2), np.float32)
+    logits[:4] = [[2.0, -1.0]] * 4
+    got = float(aggregate_probs(jnp.asarray(logits), jnp.asarray(4)))
+    assert np.isclose(got, sig(2.0), atol=1e-6)
+
+    # real column wins -> abs(1 - mean real prob)
+    logits = np.zeros((8, 2), np.float32)
+    logits[:4] = [[-2.0, 1.0]] * 4
+    got = float(aggregate_probs(jnp.asarray(logits), jnp.asarray(4)))
+    assert np.isclose(got, abs(1 - sig(1.0)), atol=1e-6)
+
+
+def _tiny_cvit():
+    """A small CViT (same skeleton, 8-ch stem, dim 64) for pipeline tests."""
+    from fac_fake_tpu.models.cvit import CViT
+    spec = ()
+    for _ in range(5):
+        spec += (("conv", 8), ("bn", 8), ("relu",), ("pool",))
+    return CViT(stem_spec=spec, dim=64, depth=1, heads=2, mlp_dim=64,
+                pos_mode="legacy")
+
+
+@requires_reference
+def test_video_reader_reads_sample():
+    from fac_fake_tpu.data.video import VideoReader
+    r = VideoReader()
+    out = r.read_frames_at_indices(SAMPLE, [0, 0, 5, 10])
+    assert out is not None
+    frames, idxs = out
+    assert frames.shape == (4, 1080, 1920, 3) and idxs == [0, 0, 5, 10]
+    assert np.array_equal(frames[0], frames[1])  # duplicate index re-emitted
+    mid = r.read_middle_frame(SAMPLE)
+    assert mid is not None and mid[1] == [150]
+
+
+@requires_reference
+def test_scorer_end_to_end_sample_video():
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.core.config import Config
+    from fac_fake_tpu.infer.predictor import VideoScorer
+
+    model = _tiny_cvit()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+    cfg = Config()
+    cfg.infer.batch_crops = 32
+    scorer = VideoScorer(model, variables, cfg)
+
+    crops = scorer.gather_crops(SAMPLE)
+    assert crops.ndim == 4 and crops.shape[1:] == (224, 224, 3)
+    assert 1 <= crops.shape[0] <= 29  # the sample has one visible face
+
+    prob = scorer.score_video(SAMPLE)
+    assert 0.0 <= prob <= 1.0
+
+    # zero-crop fallback
+    assert scorer.score_crops(np.zeros((0, 224, 224, 3), np.uint8)) == 0.5
+    # <3 crops -> 0.5
+    assert scorer.score_crops(crops[:2]) == 0.5
