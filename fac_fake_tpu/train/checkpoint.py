@@ -1,0 +1,44 @@
+"""Checkpoint save/restore (orbax).
+
+Replaces `torch.save(state_dict)` / filename-epoch parsing
+(`S3D-train.py:213-218,426-429`, `cvit_train.py:185-210`) with orbax
+step-indexed checkpoints carrying the full functional state; resume is
+`latest_epoch` + `restore_checkpoint`, no string parsing.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from fac_fake_tpu.train.state import TrainState
+
+
+def _mgr(directory: str) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(os.path.abspath(directory))
+
+
+def save_checkpoint(directory: str, state: TrainState, epoch: int):
+    os.makedirs(directory, exist_ok=True)
+    with _mgr(directory) as mgr:
+        mgr.save(epoch, args=ocp.args.StandardSave(jax.device_get(state)))
+        mgr.wait_until_finished()
+
+
+def latest_epoch(directory: str) -> Optional[int]:
+    if not os.path.isdir(directory):
+        return None
+    with _mgr(directory) as mgr:
+        return mgr.latest_step()
+
+
+def restore_checkpoint(directory: str, template: TrainState,
+                       epoch: Optional[int] = None) -> TrainState:
+    with _mgr(directory) as mgr:
+        step = epoch if epoch is not None else mgr.latest_step()
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                                jax.device_get(template))
+        return mgr.restore(step, args=ocp.args.StandardRestore(abstract))

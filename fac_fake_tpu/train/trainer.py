@@ -1,0 +1,267 @@
+"""The training engine.
+
+Re-designs the reference's five copy-pasted epoch loops
+(`cvit_train.py:95-212`, `ResKan_train.py:87-195`, `ResVitKan_train.py`,
+`S3D-train.py:318-443`, `S3D-train-GPUs.py:196-495`) as one engine:
+
+  * ONE jitted train step: on-device augmentation → normalize → forward →
+    loss → grads → Adam, with BN stats and LinearNorm counters threaded
+    functionally;
+  * data parallelism is a sharding annotation, not a wrapper: the batch is
+    sharded over the mesh 'data' axis, params replicated — XLA inserts the
+    gradient all-reduce and computes *global* BN statistics (SyncBatchNorm
+    for free; supersedes DDP/SyncBatchNorm/DistributedSampler/reduce_value,
+    SURVEY.md §2.5);
+  * per-epoch LR controllers write into injected optimizer hyperparams (no
+    recompiles);
+  * best-accuracy snapshotting (`cvit_train.py:180-190`), early stop on val
+    loss patience (`S3D-train.py:322-325`), periodic + resumable orbax
+    checkpoints (`S3D-train.py:426-429,213-218`), pickle/CSV history
+    (`cvit_train.py:203-204`, `ResKan_train.py:187-188`), optional
+    TensorBoard scalars (`S3D-train.py:207-210,417-421`).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fac_fake_tpu.core.config import Config
+from fac_fake_tpu.data.augment import augment_batch
+from fac_fake_tpu.infer.predictor import IMAGENET_MEAN, IMAGENET_STD
+from fac_fake_tpu.parallel.mesh import build_mesh
+from fac_fake_tpu.train.losses import make_loss
+from fac_fake_tpu.train.schedules import build_controller
+from fac_fake_tpu.train.state import (TrainState, get_learning_rate,
+                                      make_optimizer, set_learning_rate)
+
+
+def _count_correct(logits: jnp.ndarray, labels: jnp.ndarray,
+                   mask: jnp.ndarray) -> jnp.ndarray:
+    if logits.ndim == 2 and logits.shape[-1] > 1:
+        pred = jnp.argmax(logits, axis=-1)
+    else:  # single-logit sigmoid rounding (`S3D/utils.py:69-85`)
+        pred = (jax.nn.sigmoid(logits.reshape(-1)) > 0.5).astype(jnp.int32)
+    return jnp.sum((pred == labels.reshape(-1)) * mask)
+
+
+class Trainer:
+    def __init__(self, model, cfg: Optional[Config] = None, mesh=None,
+                 loss_kwargs: Optional[dict] = None, input_shape=None):
+        self.cfg = cfg or Config()
+        self.model = model
+        self.mesh = mesh if mesh is not None else build_mesh(self.cfg.mesh)
+        tcfg = self.cfg.train
+        self.tx = make_optimizer(tcfg.optim.lr, tcfg.optim.weight_decay)
+        self.loss_fn = make_loss(tcfg.loss, **(loss_kwargs or {}))
+        self.input_shape = input_shape or (
+            1, self.cfg.data.image_size, self.cfg.data.image_size, 3)
+        self.controller = build_controller(
+            tcfg.optim, tcfg.epochs, world_scale=self.mesh.shape["data"])
+        self._rep = NamedSharding(self.mesh, P())
+        self._data = NamedSharding(self.mesh, P("data"))
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        rng = jax.random.key(self.cfg.train.seed if seed is None else seed)
+        # init through the train path so schedule-gated branches (e.g.
+        # LinearNorm's RepBN) materialize their params
+        variables = self.model.init(rng, jnp.zeros(self.input_shape, jnp.float32),
+                                    train=True)
+        params = variables["params"]
+        return TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            schedule=variables.get("schedule", {}),
+            opt_state=self.tx.init(params),
+        )
+
+    def load_warm_start(self, state: TrainState, torch_ckpt: str,
+                        variant: str = "cvit") -> TrainState:
+        """Warm start from a reference torch checkpoint
+        (`cvit_train.py:70-71`, strict=False equivalent)."""
+        from fac_fake_tpu.compat.torch_weights import (convert_cvit,
+                                                       load_torch_state_dict)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if state.schedule:
+            variables["schedule"] = state.schedule
+        variables = convert_cvit(load_torch_state_dict(torch_ckpt), variables, variant)
+        return state.replace(params=variables["params"],
+                             batch_stats=variables.get("batch_stats", {}),
+                             schedule=variables.get("schedule", {}))
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        model, loss_fn, aug_cfg = self.model, self.loss_fn, self.cfg.data.augment
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+        has_schedule_cache: Dict[str, bool] = {}
+
+        def normalize(x01):
+            return (x01 - mean) / std
+
+        def train_step(state: TrainState, batch, rng):
+            imgs = augment_batch(rng, batch["image"], aug_cfg)
+            x = normalize(imgs)
+            mutable = ["batch_stats"] + (["schedule"] if state.schedule else [])
+
+            def loss_of(params):
+                variables = {"params": params, "batch_stats": state.batch_stats}
+                if state.schedule:
+                    variables["schedule"] = state.schedule
+                logits, mut = model.apply(variables, x, train=True,
+                                          mutable=mutable)
+                return loss_fn(logits, batch["label"]), (logits, mut)
+
+            (loss, (logits, mut)), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1, params=params, opt_state=opt_state,
+                batch_stats=mut.get("batch_stats", state.batch_stats),
+                schedule=mut.get("schedule", state.schedule))
+            metrics = {
+                "loss": loss,
+                "correct": _count_correct(logits, batch["label"], batch["mask"]),
+                "count": jnp.sum(batch["mask"]),
+            }
+            return new_state, metrics
+
+        def eval_step(state: TrainState, batch):
+            x = normalize(batch["image"].astype(jnp.float32) / 255.0)
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            if state.schedule:
+                variables["schedule"] = state.schedule
+            logits = model.apply(variables, x, train=False)
+            losses = self.loss_fn(logits, batch["label"], batch["mask"])
+            return {
+                "loss": losses,
+                "correct": _count_correct(logits, batch["label"], batch["mask"]),
+                "count": jnp.sum(batch["mask"]),
+            }
+
+        batch_sh = {"image": self._data, "label": self._data, "mask": self._data}
+        self.train_step = jax.jit(
+            train_step,
+            in_shardings=(self._rep, batch_sh, self._rep),
+            out_shardings=(self._rep, self._rep),
+            donate_argnums=0)
+        self.eval_step = jax.jit(
+            eval_step, in_shardings=(self._rep, batch_sh),
+            out_shardings=self._rep)
+
+    # ------------------------------------------------------------------
+    def _run_epoch(self, state, batches, rng, train: bool):
+        tot_loss, tot_correct, tot_count, nb = 0.0, 0.0, 0.0, 0
+        for batch in batches:
+            if train:
+                rng, sub = jax.random.split(rng)
+                state, m = self.train_step(state, batch, sub)
+            else:
+                m = self.eval_step(state, batch)
+            m = jax.device_get(m)
+            bs = float(m["count"])
+            tot_loss += float(m["loss"]) * max(bs, 1.0)
+            tot_correct += float(m["correct"])
+            tot_count += bs
+            nb += 1
+            if train and self.cfg.train.log_every and nb % self.cfg.train.log_every == 0:
+                print(f"  batch {nb}: loss {float(m['loss']):.4f}")
+        denom = max(tot_count, 1.0)
+        return state, rng, {"loss": tot_loss / denom, "acc": tot_correct / denom}
+
+    def fit(self, train_batches_fn: Callable[[int], Iterator],
+            val_batches_fn: Optional[Callable[[int], Iterator]] = None,
+            state: Optional[TrainState] = None,
+            start_epoch: int = 0) -> Dict[str, Any]:
+        """train/val loop. `*_batches_fn(epoch)` returns the epoch's batch
+        iterator (epoch folds into the shuffle seed)."""
+        cfg = self.cfg.train
+        state = state if state is not None else self.init_state()
+        state = set_learning_rate(state, self.controller.lr)
+        rng = jax.random.key(cfg.seed + 1)
+
+        history = {"train_loss": [], "train_acc": [], "val_loss": [],
+                   "val_acc": [], "lr": []}
+        best = {"acc": -1.0, "params": None, "batch_stats": None}
+        bad_epochs = 0
+        writer = None
+        if cfg.tensorboard_dir:
+            from tensorboardX import SummaryWriter
+            writer = SummaryWriter(cfg.tensorboard_dir)
+
+        t0 = time.time()
+        for epoch in range(start_epoch, cfg.epochs):
+            state, rng, tr = self._run_epoch(state, train_batches_fn(epoch),
+                                             rng, train=True)
+            if val_batches_fn is not None:
+                state, rng, va = self._run_epoch(state, val_batches_fn(epoch),
+                                                 rng, train=False)
+            else:
+                va = {"loss": tr["loss"], "acc": tr["acc"]}
+
+            lr = self.controller.epoch_end(epoch, va["loss"])
+            state = set_learning_rate(state, lr)
+
+            history["train_loss"].append(tr["loss"])
+            history["train_acc"].append(tr["acc"])
+            history["val_loss"].append(va["loss"])
+            history["val_acc"].append(va["acc"])
+            history["lr"].append(lr)
+            print(f"epoch {epoch}: train loss {tr['loss']:.4f} acc {tr['acc']:.4f}"
+                  f" | val loss {va['loss']:.4f} acc {va['acc']:.4f} | lr {lr:.2e}")
+            if writer:
+                writer.add_scalar("train/loss", tr["loss"], epoch)
+                writer.add_scalar("train/acc", tr["acc"], epoch)
+                writer.add_scalar("val/loss", va["loss"], epoch)
+                writer.add_scalar("val/acc", va["acc"], epoch)
+                writer.add_scalar("lr", lr, epoch)
+
+            if va["acc"] > best["acc"]:  # best-acc snapshot (cvit_train.py:180-190)
+                best = {"acc": va["acc"],
+                        "params": jax.device_get(state.params),
+                        "batch_stats": jax.device_get(state.batch_stats)}
+
+            if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0 \
+                    and cfg.checkpoint_dir:
+                from fac_fake_tpu.train.checkpoint import save_checkpoint
+                save_checkpoint(cfg.checkpoint_dir, state, epoch)
+
+            # early stop on val-loss patience (S3D-train.py:322-325)
+            if cfg.patience:
+                if epoch > 0 and va["loss"] >= min(history["val_loss"][:-1] or
+                                                   [float("inf")]):
+                    bad_epochs += 1
+                else:
+                    bad_epochs = 0
+                if bad_epochs >= cfg.patience:
+                    print(f"early stop at epoch {epoch}")
+                    break
+
+        history["wall_seconds"] = time.time() - t0
+        history["best_acc"] = best["acc"]
+        if writer:
+            writer.close()
+        return {"state": state, "history": history, "best": best}
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def save_history(history: dict, path: str):
+        """pickle [train_loss, train_acc, val_loss, val_acc] like
+        `cvit_train.py:203-204`, plus a CSV like `ResKan_train.py:187-188`."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump([history["train_loss"], history["train_acc"],
+                         history["val_loss"], history["val_acc"]], f)
+        import pandas as pd
+        pd.DataFrame({k: v for k, v in history.items()
+                      if isinstance(v, list)}).to_csv(path + ".csv", index=False)
