@@ -35,7 +35,7 @@ class GGCA(nn.Module):
         x_w_avg = jnp.mean(x, axis=1, keepdims=True)  # (b, 1, w, c)
         x_w_max = jnp.max(x, axis=1, keepdims=True)
 
-        conv1 = nn.Conv(cg // self.reduction, (1, 1), use_bias=True,
+        conv1 = nn.Conv(max(1, cg // self.reduction), (1, 1), use_bias=True,
                         dtype=self.dtype, name="conv1")
         bn = TorchBatchNorm(use_running_average=not train, dtype=self.dtype, name="bn")
         conv2 = nn.Conv(cg, (1, 1), use_bias=True, dtype=self.dtype, name="conv2")

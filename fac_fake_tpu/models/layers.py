@@ -122,14 +122,15 @@ class LinearNorm(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         # LayerNorm eps matches the reference's partial(nn.LayerNorm, eps=1e-6)
         ln = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")
+        if not train:
+            # eval path never touches norm2 or the counters, so
+            # inference-only variable sets (no 'schedule' collection) work
+            return ln(x)
         repbn = RepBN(self.dim, dtype=self.dtype, name="norm2")
         warm = self.variable("schedule", "warm",
                              lambda: jnp.asarray(self.warm, jnp.int32))
         it = self.variable("schedule", "iter",
                            lambda: jnp.asarray(self.step, jnp.int32))
-
-        if not train:
-            return ln(x)
 
         in_warmup = warm.value > 0
         lamda = (self.r0 * it.value.astype(jnp.float32) / float(self.step))

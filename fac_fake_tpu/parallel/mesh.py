@@ -47,18 +47,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_sharding_rules(mesh: Mesh, params) -> object:
-    """Tensor-parallel layout for the big Dense kernels: shard the widest
-    axis of any kernel whose row dim is large over 'model'. With model=1 this
-    degenerates to full replication (pure DP)."""
+def param_sharding_rules(mesh: Mesh, params, min_size: int = 1 << 20) -> object:
+    """Tensor-parallel layout for the big Dense kernels: shard the output
+    axis of any 2-D kernel with ≥ `min_size` elements over 'model'. With
+    model=1 this degenerates to full replication (pure DP)."""
     model_size = mesh.shape["model"]
 
     def rule(path, leaf):
-        if model_size == 1 or leaf.ndim < 2:
+        if model_size == 1 or leaf.ndim != 2:
             return NamedSharding(mesh, P())
         name = "/".join(str(p.key) if hasattr(p, "key") else str(p) for p in path)
-        if "kernel" in name and leaf.ndim == 2 and leaf.shape[1] % model_size == 0 \
-                and leaf.shape[0] * leaf.shape[1] >= 1 << 20:
+        if "kernel" in name and leaf.shape[1] % model_size == 0 \
+                and leaf.shape[0] * leaf.shape[1] >= min_size:
             return NamedSharding(mesh, P(None, "model"))
         return NamedSharding(mesh, P())
 

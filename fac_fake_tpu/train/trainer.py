@@ -53,9 +53,11 @@ def _count_correct(logits: jnp.ndarray, labels: jnp.ndarray,
 
 class Trainer:
     def __init__(self, model, cfg: Optional[Config] = None, mesh=None,
-                 loss_kwargs: Optional[dict] = None, input_shape=None):
+                 loss_kwargs: Optional[dict] = None, input_shape=None,
+                 tp_min_size: int = 1 << 20):
         self.cfg = cfg or Config()
         self.model = model
+        self.tp_min_size = tp_min_size
         self.mesh = mesh if mesh is not None else build_mesh(self.cfg.mesh)
         tcfg = self.cfg.train
         self.tx = make_optimizer(tcfg.optim.lr, tcfg.optim.weight_decay)
@@ -149,20 +151,36 @@ class Trainer:
                 "count": jnp.sum(batch["mask"]),
             }
 
-        batch_sh = {"image": self._data, "label": self._data, "mask": self._data}
-        self.train_step = jax.jit(
-            train_step,
-            in_shardings=(self._rep, batch_sh, self._rep),
-            out_shardings=(self._rep, self._rep),
-            donate_argnums=0)
-        self.eval_step = jax.jit(
-            eval_step, in_shardings=(self._rep, batch_sh),
-            out_shardings=self._rep)
+        # Shardings come from committed inputs: the batch is device_put onto
+        # P('data'); state params onto the tensor-parallel rules (replicated
+        # when mesh model=1). XLA propagates layouts and inserts collectives.
+        self.train_step = jax.jit(train_step, donate_argnums=0)
+        self.eval_step = jax.jit(eval_step)
+        self._batch_sharding = {"image": self._data, "label": self._data,
+                                "mask": self._data}
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        """Place the state on the mesh: params (and matching Adam moments)
+        follow the tensor-parallel rules over the 'model' axis; everything
+        else is replicated."""
+        from fac_fake_tpu.parallel.mesh import param_sharding_rules
+        rules = param_sharding_rules(self.mesh, state.params, self.tp_min_size)
+        return TrainState(
+            step=jax.device_put(state.step, self._rep),
+            params=jax.device_put(state.params, rules),
+            batch_stats=jax.device_put(state.batch_stats, self._rep),
+            schedule=jax.device_put(state.schedule, self._rep),
+            opt_state=jax.device_put(state.opt_state, self._rep),
+        )
+
+    def put_batch(self, batch):
+        return jax.device_put(batch, self._batch_sharding)
 
     # ------------------------------------------------------------------
     def _run_epoch(self, state, batches, rng, train: bool):
         tot_loss, tot_correct, tot_count, nb = 0.0, 0.0, 0.0, 0
         for batch in batches:
+            batch = self.put_batch(batch)
             if train:
                 rng, sub = jax.random.split(rng)
                 state, m = self.train_step(state, batch, sub)
@@ -188,6 +206,7 @@ class Trainer:
         cfg = self.cfg.train
         state = state if state is not None else self.init_state()
         state = set_learning_rate(state, self.controller.lr)
+        state = self.shard_state(state)
         rng = jax.random.key(cfg.seed + 1)
 
         history = {"train_loss": [], "train_acc": [], "val_loss": [],
