@@ -181,3 +181,177 @@ def convert_cvit(state_dict: Dict[str, np.ndarray], variables: Any,
             raise ValueError(f"{path}: shape {val.shape} != {np.asarray(leaf).shape}")
         out[path] = val
     return jax.tree.map(lambda x: x, traverse_util.unflatten_dict(out))
+
+
+# ---------------------------------------------------------------------------
+# S3D family
+# ---------------------------------------------------------------------------
+
+def _s3d_torch_key(path, spec):
+    """flax path → (torch_key, transform) for S3DNet checkpoints
+    (`S3D/model.py`, `CA_S3D.py`, `msca_S3D*.py`; `base.{i}` Sequential
+    indices line up 1:1 with spec indices because pool entries occupy a spec
+    slot but carry no params — mirroring nn.MaxPool3d in the Sequential)."""
+    col, rest = path[0], list(path[1:])
+    leaf = rest[-1]
+
+    def term(base):
+        """Map a leaf module (conv / bn / ln) under `base`."""
+        if col == "batch_stats":
+            return f"{base}.running_{'mean' if leaf == 'mean' else 'var'}", t_id
+        if leaf == "kernel":
+            return f"{base}.weight", t_conv3d
+        if leaf == "scale":
+            return f"{base}.weight", t_id
+        return f"{base}.bias", t_id
+
+    if rest[0] == "fc":
+        return term("fc.0")
+
+    m = re.match(r"^l(\d+)$", rest[0])
+    if not m:
+        raise KeyError(f"no S3D mapping for {path}")
+    i = int(m.group(1))
+    base = f"base.{i}"
+    op = spec[i][0]
+    sub = rest[1]
+
+    if op in ("sep", "basic"):
+        return term(f"{base}.{sub}")
+    if op == "mix":
+        branch = {"b0": "branch0.0", "b1a": "branch1.0", "b1b": "branch1.1",
+                  "b2a": "branch2.0", "b2b": "branch2.1", "b3": "branch3.1"}[sub]
+        # flax path: l{i}/b1b/conv_s/kernel or l{i}/b0/conv/kernel
+        return term(f"{base}.{branch}.{rest[2]}")
+    if op == "ctx":
+        mapping = {"ca1": "channel_add_conv.0", "ln": "channel_add_conv.1",
+                   "ca2": "channel_add_conv.3", "conv_mask": "conv_mask"}
+        tk = f"{base}.{mapping[sub]}"
+        if sub == "ln":
+            # torch LN weight shape (planes,1,1,1) → (planes,)
+            return (f"{tk}.weight" if leaf == "scale" else f"{tk}.bias",
+                    lambda w: np.asarray(w).reshape(-1))
+        if leaf == "kernel":
+            return f"{tk}.weight", t_conv3d
+        return f"{tk}.bias", t_id
+    if op == "mscan_half":
+        return _mscan_key(base, rest[1:], col, leaf, prefix_norm="norm1",
+                          attn="attn")
+    if op == "iformer":
+        return _iformer_key(base, rest[1:], col, leaf)
+    raise KeyError(f"no S3D mapping for {path}")
+
+
+def _dwsep_key(base, inner, col, leaf):
+    """DWSepConv3d leaf: flax path is <name>/sep/<inner> where inner is
+    conv_s / conv_t / bn_t; torch keys live directly under the module."""
+    tk = f"{base}.{inner}"
+    if col == "batch_stats":
+        return f"{tk}.running_{'mean' if leaf == 'mean' else 'var'}", t_id
+    if leaf == "kernel":
+        return f"{tk}.weight", t_conv3d
+    if leaf == "scale":
+        return f"{tk}.weight", t_id
+    return f"{tk}.bias", t_id
+
+
+def _attnmod_key(base, rest, col, leaf):
+    # AttentionModule3d: conv0/conv0_1/conv1_1 are DWSepConv3d; conv3 plain.
+    # rest = [conv0, 'sep', inner, leaf] or [conv3, leaf]
+    sub = rest[0]
+    if sub == "conv3":
+        return (f"{base}.conv3.weight", t_conv3d) if leaf == "kernel" \
+            else (f"{base}.conv3.bias", t_id)
+    return _dwsep_key(f"{base}.{sub}", rest[2], col, leaf)
+
+
+def _spatialattn_key(base, rest, col, leaf):
+    sub = rest[0]
+    if sub == "proj1":
+        return (f"{base}.proj_1.weight", t_conv3d) if leaf == "kernel" \
+            else (f"{base}.proj_1.bias", t_id)
+    if sub == "proj2":
+        return (f"{base}.proj_2.weight", t_conv3d) if leaf == "kernel" \
+            else (f"{base}.proj_2.bias", t_id)
+    return _attnmod_key(f"{base}.spatial_gating_unit", rest[1:], col, leaf)
+
+
+def _mscan_key(base, rest, col, leaf, prefix_norm="norm1", attn="attn"):
+    sub = rest[0]
+    if sub in ("norm1", "norm2"):
+        tk = f"{base}.{sub}"
+        if col == "batch_stats":
+            return f"{tk}.running_{'mean' if leaf == 'mean' else 'var'}", t_id
+        return (f"{tk}.weight" if leaf == "scale" else f"{tk}.bias"), t_id
+    if sub == "attn":
+        return _spatialattn_key(f"{base}.attn", rest[1:], col, leaf)
+    if sub == "mlp":
+        return _mlp3d_key(f"{base}.mlp", rest[1:], col, leaf)
+    raise KeyError(f"mscan {rest}")
+
+
+def _mlp3d_key(base, rest, col, leaf):
+    sub = rest[0]
+    if sub in ("fc1", "fc2"):
+        return (f"{base}.{sub}.weight", t_conv3d) if leaf == "kernel" \
+            else (f"{base}.{sub}.bias", t_id)
+    # rest = ['dw', 'sep', inner, leaf] -> torch Mlp.dwconv.dwconv (DWConv
+    # wraps DWSepConv3d)
+    return _dwsep_key(f"{base}.dwconv.dwconv", rest[2], col, leaf)
+
+
+def _iformer_key(base, rest, col, leaf):
+    sub = rest[0]
+    if sub in ("norm1", "norm2"):
+        tk = f"{base}.{sub}"
+        if col == "batch_stats":
+            return f"{tk}.running_{'mean' if leaf == 'mean' else 'var'}", t_id
+        return (f"{tk}.weight" if leaf == "scale" else f"{tk}.bias"), t_id
+    if sub == "mlp":
+        return _mlp3d_key(f"{base}.mlp", rest[1:], col, leaf)
+    # mixer pieces
+    mix = f"{base}.inceptionmixer"
+    sub2 = rest[1]
+    if sub2 == "pool_fc":
+        tk = f"{mix}.maxpool_fc.1"
+        if col == "batch_stats":
+            return f"{tk}.bn.running_{'mean' if leaf == 'mean' else 'var'}", t_id
+        if rest[2] == "conv":
+            return f"{tk}.conv.weight", t_conv3d
+        return (f"{tk}.bn.weight" if leaf == "scale" else f"{tk}.bn.bias"), t_id
+    if sub2 == "fc":
+        tk = f"{mix}.fc_dw.0"
+        if col == "batch_stats":
+            return f"{tk}.bn.running_{'mean' if leaf == 'mean' else 'var'}", t_id
+        if rest[2] == "conv":
+            return f"{tk}.conv.weight", t_conv3d
+        return (f"{tk}.bn.weight" if leaf == "scale" else f"{tk}.bn.bias"), t_id
+    if sub2 == "dw":
+        # rest = ['mixer', 'dw', 'sep', inner, leaf]
+        return _dwsep_key(f"{mix}.fc_dw.1", rest[3], col, leaf)
+    if sub2 == "bn":
+        tk = f"{mix}.fc_dw.2"
+        if col == "batch_stats":
+            return f"{tk}.running_{'mean' if leaf == 'mean' else 'var'}", t_id
+        return (f"{tk}.weight" if leaf == "scale" else f"{tk}.bias"), t_id
+    if sub2 == "attn":
+        return _spatialattn_key(f"{mix}.attn", rest[2:], col, leaf)
+    raise KeyError(f"iformer {rest}")
+
+
+def convert_s3d(state_dict: Dict[str, np.ndarray], variables: Any, spec) -> Any:
+    """Fill an initialized S3DNet variable tree from a torch state_dict."""
+    import jax
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(variables)
+    out = {}
+    for path, leaf in flat.items():
+        key, tf = _s3d_torch_key([str(p) for p in path], spec)
+        if key not in state_dict:
+            raise KeyError(f"torch checkpoint missing '{key}' for {path}")
+        val = np.asarray(tf(state_dict[key])).astype(np.asarray(leaf).dtype)
+        if val.shape != tuple(np.asarray(leaf).shape):
+            raise ValueError(f"{path}: {val.shape} != {np.asarray(leaf).shape}")
+        out[path] = val
+    return jax.tree.map(lambda x: x, traverse_util.unflatten_dict(out))
