@@ -355,3 +355,94 @@ def convert_s3d(state_dict: Dict[str, np.ndarray], variables: Any, spec) -> Any:
             raise ValueError(f"{path}: {val.shape} != {np.asarray(leaf).shape}")
         out[path] = val
     return jax.tree.map(lambda x: x, traverse_util.unflatten_dict(out))
+
+
+# ---------------------------------------------------------------------------
+# ResKan / ResVitKan family
+# ---------------------------------------------------------------------------
+
+def _resnet_key(rest, col, leaf, prefix=""):
+    """flax ResNet paths → torch keys (`kan_resnet.py` / `ResVitKan.py`
+    vendored ResNets share naming: conv1/bn1/layerX.Y.{convZ,bnZ,downsample}
+    plus the optional channel/bn2 squeeze tail)."""
+    sub = rest[0]
+
+    def term(base, is_conv):
+        if col == "batch_stats":
+            return f"{base}.running_{'mean' if leaf == 'mean' else 'var'}", t_id
+        if is_conv:
+            return f"{base}.weight", t_conv
+        return (f"{base}.weight" if leaf == "scale" else f"{base}.bias"), t_id
+
+    if sub in ("conv1", "channel"):
+        return term(f"{prefix}{sub}", True)
+    if sub in ("bn1", "bn2"):
+        return term(f"{prefix}{sub}", False)
+    m = re.match(r"^layer(\d+)_(\d+)$", sub)
+    if m:
+        tl = f"{prefix}layer{m.group(1)}.{m.group(2)}"
+        inner = rest[1]
+        if inner == "ds_conv":
+            return term(f"{tl}.downsample.0", True)
+        if inner == "ds_bn":
+            return term(f"{tl}.downsample.1", False)
+        return term(f"{tl}.{inner}", inner.startswith("conv"))
+    raise KeyError(f"resnet path {rest}")
+
+
+def _kan_key(rest, col, leaf, prefix):
+    """KAN paths: <prefix>.layers.{i}.{base_weight,spline_weight,
+    spline_scaler,grid} — identity layout (we keep torch (out,in,...))."""
+    m = re.match(r"^layer(\d+)$", rest[0])
+    i = m.group(1)
+    name = "grid" if col == "kan_grid" else leaf
+    return f"{prefix}.layers.{i}.{name}", t_id
+
+
+def _fill(variables, state_dict, key_fn):
+    import jax
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(variables)
+    out = {}
+    for path, leaf in flat.items():
+        key, tf = key_fn([str(p) for p in path])
+        if key not in state_dict:
+            raise KeyError(f"torch checkpoint missing '{key}' for {path}")
+        val = np.asarray(tf(state_dict[key])).astype(np.asarray(leaf).dtype)
+        if val.shape != tuple(np.asarray(leaf).shape):
+            raise ValueError(f"{path}: {val.shape} != {np.asarray(leaf).shape}")
+        out[path] = val
+    return jax.tree.map(lambda x: x, traverse_util.unflatten_dict(out))
+
+
+def convert_reskan(state_dict, variables):
+    def key_fn(path):
+        col, rest = path[0], path[1:]
+        leaf = rest[-1]
+        if rest[0] == "resnet":
+            return _resnet_key(rest[1:], col, leaf)
+        return _kan_key(rest[1:], col, leaf, "kan")
+    return _fill(variables, state_dict, key_fn)
+
+
+def convert_resvitkan(state_dict, variables):
+    def key_fn(path):
+        col, rest = path[0], path[1:]
+        leaf = rest[-1]
+        if rest[0] == "features":
+            return _resnet_key(rest[1:], col, leaf, prefix="features.")
+        if rest[0] == "transformer":
+            return _cvit_torch_key(path, "cvit")
+        if rest == ["pos_embedding"] or rest == ["cls_token"]:
+            return rest[0], t_id
+        if rest[0] == "patch_to_embedding":
+            return ((f"patch_to_embedding.weight", t_dense) if leaf == "kernel"
+                    else ("patch_to_embedding.bias", t_id))
+        if rest[0] == "head_fc":
+            return ((f"kan_head.0.weight", t_dense) if leaf == "kernel"
+                    else ("kan_head.0.bias", t_id))
+        if rest[0] == "head_kan":
+            return _kan_key(rest[1:], col, leaf, "kan_head.3")
+        raise KeyError(f"resvitkan path {path}")
+    return _fill(variables, state_dict, key_fn)
