@@ -74,14 +74,25 @@ def _cvit_torch_key(path, variant: str):
     leaf = rest[-1]
 
     def stem_name(flax_stem: str) -> str:
-        if variant == "cvit":
+        if variant in ("cvit", "single"):
             return "features"
-        return {"stem": "features1", "stem2": "features2"}[flax_stem]
+        return {"stem": "features1", "stem2": "features2",
+                "stem3": "features3"}[flax_stem]
 
     # --- stem layers: stem/l{i}/... ---
-    if rest[0] in ("stem", "stem2"):
+    if rest[0] in ("stem", "stem2", "stem3"):
         base = f"{stem_name(rest[0])}.{rest[1][1:]}"  # l{i} -> i
-        if not re.match(r"^[wb]_(cd|hd|vd|ad|std)$", leaf):  # plain conv / bn
+        if re.match(r"^[wb]_(cd|hd|vd|ad|std)$", leaf):
+            # DEConv leaves: w_cd / b_cd / ...
+            branch = {"cd": "conv1_1", "hd": "conv1_2", "vd": "conv1_3",
+                      "ad": "conv1_4", "std": "conv1_5"}[leaf.split("_")[1]]
+            sub = "" if branch == "conv1_5" else ".conv"
+            if leaf.split("_")[0] == "w":
+                tf = t_conv1d if branch in ("conv1_2", "conv1_3") else t_conv
+                return f"{base}.{branch}{sub}.weight", tf
+            return f"{base}.{branch}{sub}.bias", t_id
+        if len(rest) == 3 and leaf in ("kernel", "scale", "bias", "mean", "var"):
+            # plain conv / bn directly under l{i}
             if col == "batch_stats":
                 return f"{base}.running_{'mean' if leaf == 'mean' else 'var'}", t_id
             if leaf == "kernel":
@@ -89,27 +100,13 @@ def _cvit_torch_key(path, variant: str):
             if leaf == "scale":
                 return f"{base}.weight", t_id
             return f"{base}.bias", t_id
-        # DEConv leaves: w_cd / b_cd / ...
-        branch = {"cd": "conv1_1", "hd": "conv1_2", "vd": "conv1_3",
-                  "ad": "conv1_4", "std": "conv1_5"}[leaf.split("_")[1]]
-        sub = "" if branch == "conv1_5" else ".conv"
-        kind = leaf.split("_")[0]
-        if kind == "w":
-            tf = t_conv1d if branch in ("conv1_2", "conv1_3") else t_conv
-            return f"{base}.{branch}{sub}.weight", tf
-        return f"{base}.{branch}{sub}.bias", t_id
+        # composite stem ops (scconv / wtconv / idw / odconv-in-stem)
+        return _stem_op_key(base, rest[2:], col, leaf)
 
-    # --- GGCA ---
-    if rest[0] == "ggca":
-        idx = {"conv1": "0", "bn": "1", "conv2": "3"}[rest[1]]
-        base = f"ggca.shared_conv.{idx}"
-        if col == "batch_stats":
-            return f"{base}.running_{'mean' if leaf == 'mean' else 'var'}", t_id
-        if leaf == "kernel":
-            return f"{base}.weight", t_conv
-        if leaf == "scale":
-            return f"{base}.weight", t_id
-        return f"{base}.bias", t_id
+    # --- variant blocks (torch attr == flax name modulo _tok suffix) ---
+    if rest[0] in ("ggca", "bfm", "mdfa", "bfm_tok", "mdfa_tok", "odconv",
+                   "moga", "smfa", "uffc", "sla", "glu"):
+        return _block_torch_key(rest[0], rest[1:], col, leaf)
 
     # --- top-level params ---
     if rest == ["pos_embedding"]:
@@ -446,3 +443,147 @@ def convert_resvitkan(state_dict, variables):
             return _kan_key(rest[1:], col, leaf, "kan_head.3")
         raise KeyError(f"resvitkan path {path}")
     return _fill(variables, state_dict, key_fn)
+
+
+# ---------------------------------------------------------------------------
+# CViT variant blocks (GGCA/BFM/MDFA/ODConv/MOGA/SMFA/UFFC/SLA/GLU + stem ops)
+# ---------------------------------------------------------------------------
+
+def _t_od_weight(w):  # (kn, O, I, k, k) -> (kn, k, k, I, O)
+    return np.transpose(w, (0, 3, 4, 2, 1))
+
+
+def _t_flat(w):       # (1, C, 1, 1) or (C, 1, 1) -> (C,)
+    return np.asarray(w).reshape(-1)
+
+
+def _term(base, col, leaf, conv_tf=t_conv):
+    """Standard conv/bn/param leaf mapping under a torch module `base`."""
+    if col == "batch_stats":
+        return f"{base}.running_{'mean' if leaf == 'mean' else 'var'}", t_id
+    if leaf == "kernel":
+        return f"{base}.weight", conv_tf
+    if leaf == "scale":
+        return f"{base}.weight", t_id
+    return f"{base}.bias", t_id
+
+
+def _block_torch_key(tname, rest, col, leaf):
+    """Map a variant block's flax sub-path to its torch keys. `tname` is the
+    torch attribute (== flax module name modulo the _tok suffix)."""
+    kind = tname
+    sub = rest[0] if rest else None
+
+    if kind == "ggca":
+        idx = {"conv1": "0", "bn": "1", "conv2": "3"}[sub]
+        return _term(f"ggca.shared_conv.{idx}", col, leaf)
+
+    if kind in ("mdfa", "mdfa_tok"):
+        t = "mdfa"
+        m = {"b1_conv": "branch1.0", "b1_bn": "branch1.1",
+             "b2_conv": "branch2.0", "b2_bn": "branch2.1",
+             "b3_conv": "branch3.0", "b3_bn": "branch3.1",
+             "b4_conv": "branch4.0", "b4_bn": "branch4.1",
+             "b5_conv": "branch5_conv", "b5_bn": "branch5_bn",
+             "cat_conv": "conv_cat.0", "cat_bn": "conv_cat.1"}
+        if sub in m:
+            return _term(f"{t}.{m[sub]}", col, leaf)
+        if sub == "hebing":
+            inner = {"tongdao": "Hebing.tongdao.fc",
+                     "kongjian": "Hebing.kongjian.Conv1x1"}[rest[1]]
+            return _term(f"{t}.{inner}", col, leaf)
+
+    if kind in ("bfm", "bfm_tok"):
+        t = "bfm"
+        if sub in ("ms_conv3", "ms_conv5", "ms_conv7"):
+            i = {"3": "1", "5": "2", "7": "3"}[sub[-1]]
+            return _term(f"{t}.multi_scale_extractor.conv{i}", col, leaf)
+        inner = rest[1]
+        if inner.startswith("channel_conv"):
+            return _term(f"{t}.tfam.channel_attention.{inner}", col, leaf,
+                         conv_tf=t_conv1d)
+        return _term(f"{t}.tfam.spatial_attention.{inner}", col, leaf)
+
+    if kind == "odconv":
+        if sub == "weight":
+            return "odconv.weight", _t_od_weight
+        att = {"fc": "fc", "bn": "bn", "channel_fc": "channel_fc",
+               "filter_fc": "filter_fc", "spatial_fc": "spatial_fc",
+               "kernel_fc": "kernel_fc"}[sub]
+        return _term(f"odconv.attention.{att}", col, leaf)
+
+    if kind == "moga":
+        if sub == "sigma":
+            return "moga.sigma.scale", _t_flat
+        if sub == "value":
+            inner = {"dw0": "DW_conv0", "dw1": "DW_conv1", "dw2": "DW_conv2",
+                     "pw": "PW_conv"}[rest[1]]
+            return _term(f"moga.value.{inner}", col, leaf)
+        return _term(f"moga.{sub}", col, leaf)   # proj_1 / gate / proj_2
+
+    if kind == "smfa":
+        if sub in ("alpha", "belt"):
+            return f"smfa.{sub}", _t_flat
+        if sub == "lde":
+            inner = {"conv0a": "conv_0.0", "conv0b": "conv_0.1",
+                     "conv1": "conv_1"}[rest[1]]
+            return _term(f"smfa.lde.{inner}", col, leaf)
+        return _term(f"smfa.{sub}", col, leaf)   # linear_0/1/2, dw_conv
+
+    if kind == "uffc":
+        if sub == "locMap":
+            return "uffc.locMap", t_id
+        if sub == "lambda_base":
+            return "uffc.lambda_base", lambda w: np.asarray(w).reshape(())
+        m = {"conv_down": "conv_layer_down55",
+             "conv_down_shift": "conv_layer_down55_shift"}[sub]
+        return _term(f"uffc.{m}", col, leaf)
+
+    if kind == "sla":
+        if sub == "positional_encoding":
+            return "sla.positional_encoding", t_id
+        tf = t_dense if sub in ("qkv", "proj") else t_conv
+        return _term(f"sla.{sub}", col, leaf, conv_tf=tf) if sub == "dwc" else (
+            (f"sla.{sub}.weight", t_dense) if leaf == "kernel"
+            else (f"sla.{sub}.bias", t_id))
+
+    if kind == "glu":
+        if sub == "dwconv":
+            return _term("glu.dwconv.dwconv", col, leaf)
+        return ((f"glu.{sub}.weight", t_dense) if leaf == "kernel"
+                else (f"glu.{sub}.bias", t_id))
+
+    raise KeyError(f"block {tname} / {rest}")
+
+
+def _stem_op_key(base, rest, col, leaf):
+    """Stem ops beyond conv/bn/deconv: scconv, wtconv, idw, odconv-in-stem."""
+    sub = rest[0]
+    # ScConv
+    if sub == "sru":
+        if leaf == "gn_scale":
+            return f"{base}.SRU.gn.weight", t_id
+        return f"{base}.SRU.gn.bias", t_id
+    if sub == "cru":
+        inner = {"squeeze1": "squeeze1", "squeeze2": "squeeze2", "gwc": "GWC",
+                 "pwc1": "PWC1", "pwc2": "PWC2"}[rest[1]]
+        return _term(f"{base}.CRU.{inner}", col, leaf)
+    # WTConv
+    if sub == "base_conv":
+        return _term(f"{base}.base_conv", col, leaf)
+    if sub in ("base_scale",) or sub.startswith("wavelet_scale"):
+        t = "base_scale" if sub == "base_scale" else \
+            f"wavelet_scale.{sub[len('wavelet_scale'):]}"
+        return f"{base}.{t}.weight", _t_flat
+    if sub.startswith("wavelet_conv"):
+        return _term(f"{base}.wavelet_convs.{sub[len('wavelet_conv'):]}",
+                     col, leaf)
+    # InceptionDW
+    if sub in ("dwconv_hw", "dwconv_w", "dwconv_h"):
+        return _term(f"{base}.{sub}", col, leaf)
+    # ODConv as stem op: flax children under l{i} directly
+    if sub == "weight":
+        return f"{base}.weight", _t_od_weight
+    if sub in ("fc", "bn", "channel_fc", "filter_fc", "spatial_fc", "kernel_fc"):
+        return _term(f"{base}.attention.{sub}", col, leaf)
+    raise KeyError(f"stem op {rest}")

@@ -163,6 +163,9 @@ class DataConfig:
     mask_method: str = "none"      # none | black | noise (S3D face masking)
     mask_number: int = 4
     picture_color: str = "rgb"     # rgb | gray
+    # input scaling: imagenet (/255 + mean/std, CViT — cvit_prediction.py:41-45)
+    # or raw255 (raw 0-255 floats, S3D — deepfakes_dataset.py:111)
+    normalize: str = "imagenet"
     augment: AugmentConfig = field(default_factory=AugmentConfig)
 
 
@@ -187,6 +190,8 @@ class TrainConfig:
     epochs: int = 50
     loss: str = "cross_entropy"    # cross_entropy | bce_weighted
     rebalance_pos_weight: bool = True  # BCEWithLogits pos_weight=real/fake (S3D-train.py:264-273)
+    rebalance_fake: float = 1.0    # plan rebalancing_fake (class-count scales)
+    rebalance_real: float = 1.0    # plan rebalancing_real
     patience: int = 0              # early stop on val loss; 0 = off
     checkpoint_dir: str = "checkpoints"
     checkpoint_every: int = 10     # epochs (S3D-train.py:426-429)

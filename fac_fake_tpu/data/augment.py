@@ -148,9 +148,14 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.n
 
 def augment_batch(key: jax.Array, batch_u8: jnp.ndarray,
                   cfg: AugmentConfig) -> jnp.ndarray:
-    """uint8 (B,H,W,3) → float32 [0,1] augmented batch, one key per image."""
+    """uint8 (B,H,W,3) or clips (B,T,H,W,3) → float32 [0,1] augmented batch;
+    one key per image (clips: per frame, like the reference's per-frame
+    albumentations calls in `deepfakes_dataset.py`)."""
     imgs = batch_u8.astype(jnp.float32) / 255.0
     if not cfg.enabled:
         return imgs
-    keys = jax.random.split(key, imgs.shape[0])
-    return jax.vmap(lambda k, im: augment_image(k, im, cfg))(keys, imgs)
+    shape = imgs.shape
+    flat = imgs.reshape(-1, *shape[-3:])
+    keys = jax.random.split(key, flat.shape[0])
+    out = jax.vmap(lambda k, im: augment_image(k, im, cfg))(keys, flat)
+    return out.reshape(shape)

@@ -1,0 +1,132 @@
+"""Face-region masking augmentation for the S3D workload.
+
+Re-designs `S3D/face_mask/get_masked_face_simple.py`: the face splits into 8
+rectangular regions around the eyes/mouth derived from 5-point landmarks; a
+random subset of `mask_number` regions is filled with black or N(0,1) noise.
+Landmarks are cached per image id as `{tempdir}/{img_id}.npy`
+(`get_masked_face_simple.py:22-40`), exactly like the reference's temp-cache
+scheme.
+
+Landmark source: the reference uses a CPU MTCNN; here the in-repo BlazeFace
+detector supplies keypoints (right-eye, left-eye, nose, mouth-center, ears —
+`blazeface.py` keypoint order). Mouth corners are approximated from the mouth
+center ± 15 % of the face width (augmentation-level fidelity; the region
+geometry `:48-72` is exact given landmarks).
+"""
+from __future__ import annotations
+
+import math
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def landmarks_from_blazeface(detector, img_rgb: np.ndarray) -> Optional[np.ndarray]:
+    """Returns 5-point landmarks [(x,y)×(l_eye, r_eye, nose, mouth_l, mouth_r)]
+    in pixel coords, or None if no face."""
+    import cv2
+    h, w = img_rgb.shape[:2]
+    tile = cv2.resize(img_rgb, (128, 128), interpolation=cv2.INTER_AREA)
+    faces, mask = detector.predict_on_batch(tile[None])
+    faces = np.asarray(faces)[0]
+    mask = np.asarray(mask)[0]
+    if not mask.any():
+        return None
+    kp = faces[0, 4:16].reshape(6, 2)  # (x, y) normalized to the 128 tile
+    kp = kp * np.array([w, h])
+    r_eye, l_eye, nose, mouth = kp[0], kp[1], kp[2], kp[3]
+    dx = 0.15 * w
+    return np.array([l_eye, r_eye, nose,
+                     [mouth[0] - dx, mouth[1]], [mouth[0] + dx, mouth[1]]])
+
+
+def mask_regions(h: int, w: int, lm: np.ndarray) -> List[tuple]:
+    """The 8 rectangles as (y0, y1, x0, x1) — geometry from
+    `get_masked_face_simple.py:48-72`."""
+    eyes_w, eyes_h = w * 0.2, h * 0.16
+    mouth_w = lm[4][0] - lm[3][0]
+    mouth_h = h * 0.16
+    lel = max(math.ceil(lm[0][0] - eyes_w / 2), 0)
+    let = max(math.ceil(lm[0][1] - eyes_h / 2), 0)
+    leb = min(math.ceil(lm[0][1] + eyes_h / 2), h)
+    ret_ = max(math.ceil(lm[1][1] - eyes_h / 2), 0)
+    rer = min(math.ceil(lm[1][0] + eyes_w / 2), w)
+    reb = min(math.ceil(lm[1][1] + eyes_h / 2), h)
+    ml = max(math.ceil(lm[3][0] - mouth_w / 10), 0)
+    mr = min(math.ceil(lm[4][0] + mouth_w / 10), w)
+    mb = min(math.ceil(lm[3][1] + mouth_h / 2), h)
+    top_eyes = min(let, ret_)
+    return [
+        (0, leb, 0, lel),          # left of left eye
+        (0, top_eyes, lel, rer),   # above the eyes
+        (0, reb, rer, w),          # right of right eye
+        (leb, mb, 0, ml),          # left cheek
+        (reb, mb, mr, w),          # right cheek
+        (mb, h, 0, ml),            # lower left
+        (mb, h, ml, mr),           # chin
+        (mb, h, mr, w),            # lower right
+    ]
+
+
+def apply_face_mask(img: np.ndarray, landmarks: Optional[np.ndarray],
+                    random_list: Sequence[int], method: str = "black",
+                    mask_number: int = 4,
+                    rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Fill `mask_number` randomly chosen regions with black or N(0,1) noise
+    (`get_masked_face_simple.py:74-101`)."""
+    if method not in ("black", "noise"):
+        raise ValueError(f"mask method must be black|noise, got {method}")
+    if landmarks is None:
+        return img
+    h, w = img.shape[:2]
+    regions = mask_regions(h, w, landmarks)
+    if method == "black":
+        out = img.copy()
+        for i in random_list[:mask_number]:
+            y0, y1, x0, x1 = regions[i]
+            if y1 > y0 and x1 > x0:
+                out[y0:y1, x0:x1] = 0
+        return out
+    rng = rng or np.random.default_rng()
+    out = img.astype(np.float64) / 255.0
+    for i in random_list[:mask_number]:
+        y0, y1, x0, x1 = regions[i]
+        if y1 > y0 and x1 > x0:
+            out[y0:y1, x0:x1] += rng.normal(0, 1, (y1 - y0, x1 - x0, img.shape[2]))
+            out = np.clip(out, 0, 1)
+    return np.uint8(out * 255)
+
+
+class LandmarkCache:
+    """tempdir .npy landmark cache (`get_masked_face_simple.py:22-40`)."""
+
+    def __init__(self, tempdir: str, detector=None):
+        self.tempdir = tempdir
+        os.makedirs(tempdir, exist_ok=True)
+        self._detector = detector
+
+    @property
+    def detector(self):
+        if self._detector is None:
+            from fac_fake_tpu.detect.blazeface import BlazeFace
+            self._detector = BlazeFace.from_reference_assets()
+        return self._detector
+
+    def get(self, img_rgb: np.ndarray, img_id: str) -> Optional[np.ndarray]:
+        path = os.path.join(self.tempdir, f"{img_id}.npy")
+        if os.path.exists(path):
+            try:
+                return np.load(path)
+            except Exception:
+                os.remove(path)
+        lm = landmarks_from_blazeface(self.detector, img_rgb)
+        if lm is not None:
+            np.save(path, lm)
+        return lm
+
+    def cleanup(self):
+        """Temp landmark-cache cleanup (`S3D-train.py:434-438`)."""
+        for f in os.listdir(self.tempdir):
+            if f.endswith(".npy"):
+                os.remove(os.path.join(self.tempdir, f))

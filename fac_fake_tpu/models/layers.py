@@ -161,13 +161,13 @@ class TransformerEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
                  train: bool = False) -> jnp.ndarray:
         for i in range(self.depth):
-            h = nn.LayerNorm(dtype=self.dtype, name=f"attn_norm{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"attn_norm{i}")(x)
             x = x + MultiHeadSelfAttention(self.dim, self.heads, dtype=self.dtype,
                                            name=f"attn{i}")(h, mask)
             if self.ffn_norm == "linearnorm":
                 h = LinearNorm(self.dim, dtype=self.dtype, name=f"ffn_norm{i}")(x, train)
             else:
-                h = nn.LayerNorm(dtype=self.dtype, name=f"ffn_norm{i}")(x)
+                h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ffn_norm{i}")(x)
             x = x + FeedForward(self.dim, self.mlp_dim, dtype=self.dtype,
                                 name=f"ffn{i}")(h)
         return x

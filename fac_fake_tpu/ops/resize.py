@@ -1,0 +1,70 @@
+"""Bilinear crop-resize as matmuls (TPU-first).
+
+The reference crops faces with cv2 on the host, one `cv2.resize` per face
+(`cvit_prediction.py:114`, `helpers_face_extract_1.py:301-317`). On TPU,
+gather-style resampling is slow — but separable bilinear resize is exactly
+two small matrix multiplies: `out = R_h @ img @ R_wᵀ` per channel, where R
+holds each output pixel's two source weights. Cropping folds into R by
+shifting the sample coordinates, so crop+resize from a full frame is ONE
+batched einsum that rides the MXU — no per-face host round trips.
+
+Weight convention matches cv2/torch `align_corners=False` half-pixel
+sampling; exact agreement with bilinear resamplers, and within normal
+antialias tolerance of cv2's INTER_AREA for the ~2-4× downscales the face
+pipeline sees (SURVEY.md §7.3: fast path uses tolerance, parity mode stays
+on cv2).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _interp_matrix(out_size: int, start: jnp.ndarray, stop: jnp.ndarray,
+                   src_size: int) -> jnp.ndarray:
+    """(out_size, src_size) bilinear weights sampling [start, stop) of the
+    source axis with half-pixel centers. start/stop may be traced scalars."""
+    scale = (stop - start) / out_size
+    centers = start + (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+    centers = jnp.clip(centers, 0.0, src_size - 1.0)
+    lo = jnp.floor(centers)
+    frac = centers - lo
+    src = jnp.arange(src_size, dtype=jnp.float32)[None, :]
+    w_lo = (src == lo[:, None]) * (1.0 - frac[:, None])
+    w_hi = (src == jnp.minimum(lo + 1, src_size - 1)[:, None]) * frac[:, None]
+    return w_lo + w_hi
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def crop_resize_bilinear(frame: jnp.ndarray, boxes: jnp.ndarray,
+                         out_hw: Tuple[int, int] = (224, 224)) -> jnp.ndarray:
+    """frame (H, W, C) float/uint8, boxes (N, 4) [ymin, xmin, ymax, xmax] in
+    pixels → (N, out_h, out_w, C) float32. One vmapped pair of matmuls."""
+    h, w, _ = frame.shape
+    fr = frame.astype(jnp.float32)
+
+    def one(box):
+        ry = _interp_matrix(out_hw[0], box[0], box[2], h)   # (oh, H)
+        rx = _interp_matrix(out_hw[1], box[1], box[3], w)   # (ow, W)
+        tmp = jnp.einsum("oh,hwc->owc", ry, fr,
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum("pw,owc->opc", rx, tmp,
+                          preferred_element_type=jnp.float32)
+
+    return jax.vmap(one)(boxes.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def resize_bilinear(images: jnp.ndarray,
+                    out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """(B, H, W, C) → (B, oh, ow, C) full-image resize via shared matrices."""
+    b, h, w, c = images.shape
+    ry = _interp_matrix(out_hw[0], jnp.float32(0), jnp.float32(h), h)
+    rx = _interp_matrix(out_hw[1], jnp.float32(0), jnp.float32(w), w)
+    x = images.astype(jnp.float32)
+    tmp = jnp.einsum("oh,bhwc->bowc", ry, x, preferred_element_type=jnp.float32)
+    return jnp.einsum("pw,bowc->bopc", rx, tmp,
+                      preferred_element_type=jnp.float32)

@@ -105,9 +105,11 @@ class Trainer:
         model, loss_fn, aug_cfg = self.model, self.loss_fn, self.cfg.data.augment
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)
-        has_schedule_cache: Dict[str, bool] = {}
+        norm_mode = self.cfg.data.normalize
 
         def normalize(x01):
+            if norm_mode == "raw255":  # S3D: raw 0-255 floats
+                return x01 * 255.0
             return (x01 - mean) / std
 
         def train_step(state: TrainState, batch, rng):

@@ -111,10 +111,12 @@ def test_all_s3d_variants_build_and_run():
     from fac_fake_tpu.models import build_model
 
     x = jnp.zeros((1, 20, 32, 32, 3), jnp.float32)
-    for name in ("s3d", "ca_s3d", "msca_s3d", "msca_s3d_srm",
-                 "msca_s3d_v2", "msca_s3d_srm_v2"):
-        for srm in (False, True):
-            model = build_model(ModelConfig(name=name, srm_net=srm, num_class=1))
-            variables = model.init(jax.random.key(0), x, train=False)
-            out = model.apply(variables, x, train=False)
-            assert out.shape == (1, 1), (name, srm, out.shape)
+    # each variant once; SRM paths once per kind (concat30 / residual3)
+    cases = [("s3d", True), ("ca_s3d", False), ("msca_s3d", False),
+             ("msca_s3d_srm", True), ("msca_s3d_v2", False),
+             ("msca_s3d_srm_v2", False)]
+    for name, srm in cases:
+        model = build_model(ModelConfig(name=name, srm_net=srm, num_class=1))
+        variables = model.init(jax.random.key(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (1, 1), (name, srm, out.shape)

@@ -1,0 +1,188 @@
+"""S3D workload: plan configs, clip dataset, masking, utils, evaluator."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from conftest import requires_reference
+
+
+def test_plan_loader_matches_reference_schema(tmp_path):
+    plan = tmp_path / "caplan9.yaml"
+    plan.write_text(
+        "training:\n  lr: 0.001\n  weight-decay: 0.0000001\n  bs: 12\n"
+        "  gamma: 0.1\n  step-size: 15\n  rebalancing_fake: 0.3\n"
+        "  rebalancing_real: 1\n  frames-per-video: 30\n"
+        "  mask-method: 'black'\n  mask-number: 6\n  picture-color: 'gray'\n"
+        "  aug: 'yes'\nmodel:\n  image-size: 224\n  SRM-net: 'yes'\n")
+    from fac_fake_tpu.core.plans import load_plan, model_for_plan
+    cfg = load_plan(str(plan))
+    assert cfg.model.name == "ca_s3d" and cfg.model.srm_net
+    assert cfg.data.batch_size == 12 and cfg.data.frames_per_video == 30
+    assert cfg.data.mask_method == "black" and cfg.data.mask_number == 6
+    assert cfg.data.augment.enabled and cfg.data.augment.to_gray
+    assert cfg.train.optim.lr == 0.001 and cfg.train.loss == "bce_weighted"
+    assert model_for_plan("mplan9_3.yaml") == "msca_s3d"
+    assert model_for_plan("plan12.yaml") == "s3d"
+
+
+def test_s3d_utils_semantics():
+    from fac_fake_tpu.utils.s3d import (custom_round, custom_video_round,
+                                        shuffle_dataset)
+    assert custom_video_round([0.2, 0.7, 0.9]) == 0.7   # first >0.5 wins
+    assert custom_video_round([0.2, 0.3]) == pytest.approx(0.25)
+    assert list(custom_round([0.2, 0.6])) == [0, 1]
+    a = shuffle_dataset(list(range(10)))
+    b = shuffle_dataset(list(range(10)))
+    assert a == b  # seed 4 determinism
+
+
+def test_mask_regions_geometry():
+    from fac_fake_tpu.data.masking import apply_face_mask, mask_regions
+    lm = np.array([[70, 90], [150, 90], [112, 130], [85, 170], [140, 170]],
+                  np.float32)
+    regions = mask_regions(224, 224, lm)
+    assert len(regions) == 8
+    img = np.full((224, 224, 3), 200, np.uint8)
+    out = apply_face_mask(img, lm, list(range(8)), "black", 4)
+    assert (out == 0).any() and (out == 200).any()
+    out2 = apply_face_mask(img, lm, list(range(8)), "noise", 2,
+                           rng=np.random.default_rng(0))
+    assert not np.array_equal(out2, img)
+    # no landmarks -> untouched
+    assert np.array_equal(apply_face_mask(img, None, [0], "black", 4), img)
+
+
+def _make_crop_tree(root, n_videos=4, n_crops=24, size=32):
+    import cv2
+    meta = {}
+    for i in range(n_videos):
+        vid = f"vid{i}"
+        d = os.path.join(root, vid)
+        os.makedirs(d)
+        for j in range(n_crops):
+            img = np.full((size, size, 3), 10 * i + j, np.uint8)
+            cv2.imwrite(os.path.join(d, f"{j:03d}.png"), img)
+        meta[vid] = {"label": "FAKE" if i % 2 else "REAL"}
+    mpath = os.path.join(root, "metadata.json")
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+    return mpath
+
+
+def test_clip_dataset_batches(tmp_path):
+    from fac_fake_tpu.data.clips import ClipDataset, discover_video_folders
+    mpath = _make_crop_tree(str(tmp_path))
+    samples = discover_video_folders(str(tmp_path), mpath)
+    assert len(samples) == 4
+    assert {s[1] for s in samples} == {0, 1}
+
+    ds = ClipDataset(samples, frames_per_video=20, image_size=32)
+    assert ds.pos_weight() == pytest.approx(1.0)
+    batches = list(ds.batches(2, shuffle=False, num_workers=2))
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (2, 20, 32, 32, 3)
+    assert batches[0]["image"].dtype == np.uint8
+
+
+def test_s3d_training_smoke(tmp_path):
+    """One epoch of BCE training on tiny synthetic clips through the shared
+    Trainer (raw255 normalization, single-logit loss)."""
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.core.config import Config
+    from fac_fake_tpu.models.s3d.model import S3DNet
+    from fac_fake_tpu.train.trainer import Trainer
+
+    spec = (("sep", 8, 3, 2, 1, "relu", True),
+            ("pool", (1, 3, 3), (1, 2, 2), (0, 1, 1)),
+            ("basic", 16, 1, 1, 0, "relu"))
+    model = S3DNet(spec=spec, num_class=1)
+
+    cfg = Config()
+    cfg.data.image_size = 16
+    cfg.data.normalize = "raw255"
+    cfg.data.augment.enabled = False
+    cfg.train.loss = "bce_weighted"
+    cfg.train.epochs = 2
+    cfg.train.log_every = 0
+    cfg.train.checkpoint_every = 0
+    trainer = Trainer(model, cfg, loss_kwargs={"pos_weight": 1.5},
+                      input_shape=(1, 4, 16, 16, 3))
+
+    rng = np.random.default_rng(0)
+    def batch():
+        labels = rng.integers(0, 2, 8).astype(np.int32)
+        clips = np.clip(rng.normal(60 + 120 * labels[:, None, None, None, None],
+                                   20, (8, 4, 16, 16, 3)), 0, 255).astype(np.uint8)
+        return {"image": clips, "label": labels,
+                "mask": np.ones(8, np.float32)}
+    batches = [batch() for _ in range(6)]
+    out = trainer.fit(lambda e: iter(batches))
+    h = out["history"]
+    assert h["train_loss"][-1] < h["train_loss"][0]
+
+
+def test_s3d_evaluator_and_metrics(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.data.clips import ClipDataset, discover_video_folders
+    from fac_fake_tpu.evaluate.s3d_eval import S3DEvaluator, degrade_frame
+    from fac_fake_tpu.models.s3d.model import S3DNet
+
+    img = np.full((64, 64, 3), 128, np.uint8)
+    deg = degrade_frame(img, np.random.default_rng(0))
+    assert deg.shape == img.shape and not np.array_equal(deg, img)
+
+    mpath = _make_crop_tree(str(tmp_path), n_videos=2)
+    samples = discover_video_folders(str(tmp_path), mpath)
+    ds = ClipDataset(samples, frames_per_video=4, image_size=32)
+
+    spec = (("sep", 8, 3, 2, 1, "relu", True),
+            ("pool", (1, 3, 3), (1, 2, 2), (0, 1, 1)),
+            ("basic", 16, 1, 1, 0, "relu"))
+    model = S3DNet(spec=spec, num_class=1)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 4, 32, 32, 3)))
+
+    ev = S3DEvaluator(model, variables, degrade=True)
+    out = ev.evaluate(ds, out_prefix=str(tmp_path / "roc"), model_name="tiny")
+    assert out["count"] == 2 and 0 <= out["accuracy"] <= 1
+    assert os.path.exists(str(tmp_path / "roc_fpr.txt"))
+
+
+def test_prediction_csv_metrics(tmp_path):
+    import pandas as pd
+    pd.DataFrame({"filename": ["a.mp4", "b.mp4", "c.mp4"],
+                  "label": [0.9, 0.1, 0.5]}).to_csv(tmp_path / "p.csv",
+                                                    index=False)
+    meta = {"a.mp4": {"label": "FAKE"}, "b.mp4": {"label": "REAL"},
+            "c.mp4": {"label": "REAL"}}
+    with open(tmp_path / "m.json", "w") as f:
+        json.dump(meta, f)
+    from fac_fake_tpu.evaluate.metrics import evaluate_prediction_csv
+    out = evaluate_prediction_csv(str(tmp_path / "p.csv"),
+                                  str(tmp_path / "m.json"))
+    assert out["count"] == 2  # 0.5 no-face row dropped
+    assert out["accuracy"] == 1.0 and out["auc"] == 1.0
+
+
+def test_gradcam_smoke():
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.evaluate.gradcam import (center_crop_img, gradcam,
+                                               show_cam_on_image)
+    from helpers import tiny_cvit
+
+    model = tiny_cvit(pos_mode="patch")
+    x = jnp.asarray(np.random.default_rng(0)
+                    .integers(0, 255, (2, 224, 224, 3)).astype(np.float32) / 255)
+    variables = model.init(jax.random.key(0), x)
+    cams = gradcam(model, variables, x)
+    assert cams.shape == (2, 7, 7)
+    assert cams.min() >= 0 and cams.max() <= 1.0 + 1e-6
+
+    overlay = show_cam_on_image(np.asarray(x[0]), cams[0])
+    assert overlay.shape == (224, 224, 3)
+    cropped = center_crop_img(np.zeros((100, 160, 3), np.uint8), 64)
+    assert cropped.shape == (64, 64, 3)
