@@ -1,0 +1,21 @@
+"""fac_fake_tpu — TPU-native video face-forgery detection framework."""
+import os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: cold-start compiles of the detector
+    and backbone graphs are expensive through remote-compile transports;
+    caching makes every later process start warm."""
+    try:
+        import jax
+        cache_dir = os.environ.get(
+            "FAC_TPU_XLA_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "fac_fake_tpu_xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

@@ -198,13 +198,32 @@ class BlazeFace:
         variables = convert_blazeface(sd)
         return cls(variables, np.load(anchors_path))
 
+    # batch bucketing: pad to these sizes so the detector compiles a handful
+    # of shapes once (per-video tile counts vary; odd batch shapes would
+    # otherwise recompile every video — expensive on remote-compile paths)
+    BATCH_BUCKETS = (8, 32, 96, 192, 384)
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        for b in BlazeFace.BATCH_BUCKETS:
+            if n <= b:
+                return b
+        return -(-n // 384) * 384
+
     def predict_on_batch(self, x, apply_nms: bool = True):
         """x: (B, 128, 128, 3) uint8/float NHWC. Returns (dets, mask):
         with NMS (B, 8, 17)/(B, 8); raw (B, 896, 17)/(B, 896)."""
+        x = np.asarray(x)
+        n = x.shape[0]
+        cap = self._bucket(n)
+        if cap != n:
+            x = np.concatenate(
+                [x, np.zeros((cap - n, *x.shape[1:]), x.dtype)], axis=0)
         dets, valid = self._raw(self.variables, self.anchors, jnp.asarray(x))
         if not apply_nms:
-            return dets, valid
-        return self._nms(dets, valid)
+            return dets[:n], valid[:n]
+        faces, mask = self._nms(dets, valid)  # padded: one compile per bucket
+        return faces[:n], mask[:n]
 
 
 def convert_blazeface(sd) -> dict:

@@ -112,20 +112,28 @@ class FaceExtractor:
         frames, idxs = result
         return self.process_frames(frames, idxs)
 
+    FRAME_BUCKET = 8  # pad frame count → a handful of compiled shapes
+
     def process_frames(self, frames: np.ndarray, idxs=None):
         """Returns the reference's list-of-frame-dict structure
         (video_idx omitted): frame_idx, frame_w/h, faces, scores."""
         f, h, w, _ = frames.shape
         idxs = list(range(f)) if idxs is None else idxs
-        tiles, split, offsets = make_tiles(frames)
+        fpad = -(-f // self.FRAME_BUCKET) * self.FRAME_BUCKET
+        if fpad != f:
+            frames_in = np.concatenate(
+                [frames, np.zeros((fpad - f, h, w, 3), frames.dtype)], axis=0)
+        else:
+            frames_in = frames
+        tiles, split, offsets = make_tiles(frames_in)
         num_tiles = len(offsets)
 
         dets, valid = self.detector.predict_on_batch(tiles, apply_nms=False)
         faces, mask = _frame_detections(
             dets, valid, jnp.float32(split), jnp.asarray(offsets),
             jnp.asarray([h, w], jnp.float32), num_tiles)
-        faces = np.asarray(faces)
-        mask = np.asarray(mask)
+        faces = np.asarray(faces)[:f]
+        mask = np.asarray(mask)[:f]
 
         out = []
         for i in range(f):

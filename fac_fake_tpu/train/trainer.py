@@ -238,8 +238,12 @@ class Trainer:
             history["val_loss"].append(va["loss"])
             history["val_acc"].append(va["acc"])
             history["lr"].append(lr)
-            print(f"epoch {epoch}: train loss {tr['loss']:.4f} acc {tr['acc']:.4f}"
-                  f" | val loss {va['loss']:.4f} acc {va['acc']:.4f} | lr {lr:.2e}")
+            # host-0-only logging/artifacts (rank-0 pattern,
+            # S3D-train-GPUs.py:322-327 — here a process guard, no barrier)
+            if jax.process_index() == 0:
+                print(f"epoch {epoch}: train loss {tr['loss']:.4f} acc "
+                      f"{tr['acc']:.4f} | val loss {va['loss']:.4f} acc "
+                      f"{va['acc']:.4f} | lr {lr:.2e}")
             if writer:
                 writer.add_scalar("train/loss", tr["loss"], epoch)
                 writer.add_scalar("train/acc", tr["acc"], epoch)
@@ -253,7 +257,7 @@ class Trainer:
                         "batch_stats": jax.device_get(state.batch_stats)}
 
             if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0 \
-                    and cfg.checkpoint_dir:
+                    and cfg.checkpoint_dir and jax.process_index() == 0:
                 from fac_fake_tpu.train.checkpoint import save_checkpoint
                 save_checkpoint(cfg.checkpoint_dir, state, epoch)
 
