@@ -6,6 +6,10 @@ def _enable_compilation_cache():
     """Persistent XLA compilation cache: cold-start compiles of the detector
     and backbone graphs are expensive through remote-compile transports;
     caching makes every later process start warm."""
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        # CPU AOT executables are machine-feature-specific; a shared cache
+        # across hosts risks SIGILL. Cache only accelerator backends.
+        return
     try:
         import jax
         cache_dir = os.environ.get(

@@ -95,3 +95,39 @@ def test_scorer_end_to_end_sample_video():
     assert scorer.score_crops(np.zeros((0, 224, 224, 3), np.uint8)) == 0.5
     # <3 crops -> 0.5
     assert scorer.score_crops(crops[:2]) == 0.5
+
+
+def test_score_crops_matches_reference_chunked_algorithm():
+    """End-to-end: padded single-forward scoring == the reference's
+    chunk-0:32/32:64/64:90 + sigmoid + pre_process_prediction recipe,
+    recomputed here directly from model logits."""
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.core.config import Config
+    from fac_fake_tpu.infer.predictor import (IMAGENET_MEAN, IMAGENET_STD,
+                                              VideoScorer)
+
+    model = _tiny_cvit()  # legacy pos mode
+    variables = model.init(jax.random.key(1), jnp.zeros((1, 224, 224, 3)))
+    cfg = Config()
+    cfg.infer.batch_crops = 96
+    scorer = VideoScorer(model, variables, cfg)
+
+    rng = np.random.default_rng(7)
+    n = 40  # spans two reference chunks
+    crops = rng.integers(0, 255, (n, 224, 224, 3), dtype=np.uint8)
+    got = scorer.score_crops(crops)
+
+    # reference algorithm: chunked forwards with per-chunk pos rows
+    x = (crops.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    logits = []
+    for lo, hi in ((0, 32), (32, 64), (64, 90)):
+        chunk = x[lo:hi]
+        if chunk.shape[0] == 0:
+            continue
+        out = model.apply(variables, jnp.asarray(chunk), train=False)
+        logits.append(np.asarray(out))
+    probs = 1.0 / (1.0 + np.exp(-np.concatenate(logits)))
+    f_c, r_c = probs[:, 0].mean(), probs[:, 1].mean()
+    expected = f_c if f_c > r_c else abs(1 - r_c)
+    assert got == pytest.approx(float(expected), abs=1e-5)
