@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_TARGET = 2000.0  # crops/sec/chip (BASELINE.md north star)
-BATCH = 256
+BATCH = 2048
 
 
 def main():

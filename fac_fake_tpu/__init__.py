@@ -23,3 +23,21 @@ def _enable_compilation_cache():
 
 
 _enable_compilation_cache()
+
+_LAZY = {
+    "Config": ("fac_fake_tpu.core.config", "Config"),
+    "build_model": ("fac_fake_tpu.models", "build_model"),
+    "Trainer": ("fac_fake_tpu.train.trainer", "Trainer"),
+    "VideoScorer": ("fac_fake_tpu.infer.predictor", "VideoScorer"),
+    "BlazeFace": ("fac_fake_tpu.detect.blazeface", "BlazeFace"),
+    "build_mesh": ("fac_fake_tpu.parallel.mesh", "build_mesh"),
+    "load_plan": ("fac_fake_tpu.core.plans", "load_plan"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)

@@ -22,7 +22,8 @@ _ROW_TILE = 8
 
 
 def _kernel(x_ref, mean_ref, inv_std_ref, o_ref):
-    x = x_ref[:].astype(jnp.float32) * (1.0 / 255.0)
+    # Mosaic can't cast uint8→f32 directly; go through int32 (free on VPU)
+    x = x_ref[:].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
     o_ref[:] = (x - mean_ref[:]) * inv_std_ref[:]
 
 
