@@ -40,6 +40,33 @@ def gradcam(model, variables, images: jnp.ndarray,
     return np.asarray((cam - mn) / jnp.maximum(mx - mn, 1e-8))
 
 
+def gradcam_tokens(model, variables, images: jnp.ndarray,
+                   target_class: Optional[int] = None) -> np.ndarray:
+    """Transformer-mode CAM (`figure/gradcam_transformer.py` equivalent):
+    gradients w.r.t. the patch-embedding tokens, reshaped onto the √n × √n
+    patch grid (the cls token is excluded by construction — the hook sits on
+    the patch tokens before cls concat, mirroring the reference's
+    cls-stripping reshape)."""
+    _, inter = model.apply(variables, images, train=False,
+                           mutable=["intermediates"])
+    toks = inter["intermediates"]["patch_tokens"][0]  # (B, n, dim)
+    b, n, d = toks.shape
+    g = int(round(n ** 0.5))
+
+    def score(t):
+        logits = model.apply(variables, images, train=False, embed_override=t)
+        cls = jnp.argmax(logits, axis=-1) if target_class is None \
+            else jnp.full((logits.shape[0],), target_class)
+        return jnp.sum(jnp.take_along_axis(logits, cls[:, None], axis=1))
+
+    grads = jax.grad(score)(toks)
+    weights = jnp.mean(grads, axis=1, keepdims=True)  # per-channel over tokens
+    cam = jnp.maximum(jnp.sum(weights * toks, axis=-1), 0.0).reshape(b, g, g)
+    mx = jnp.max(cam, axis=(1, 2), keepdims=True)
+    mn = jnp.min(cam, axis=(1, 2), keepdims=True)
+    return np.asarray((cam - mn) / jnp.maximum(mx - mn, 1e-8))
+
+
 def show_cam_on_image(img01: np.ndarray, cam: np.ndarray,
                       alpha: float = 0.5) -> np.ndarray:
     """Heatmap overlay (`figure/utils.py:183-208`): resize CAM to the image,

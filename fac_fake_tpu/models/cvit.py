@@ -106,7 +106,8 @@ class CViT(nn.Module):
     def __call__(self, img: jnp.ndarray, train: bool = False,
                  mask: Optional[jnp.ndarray] = None,
                  pos_indices: Optional[jnp.ndarray] = None,
-                 features_override: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 features_override: Optional[jnp.ndarray] = None,
+                 embed_override: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         if features_override is not None:
             # GradCAM hook: differentiate the head w.r.t. post-stem features
             x = features_override
@@ -130,6 +131,10 @@ class CViT(nn.Module):
 
         y = patchify(x, self.patch_size)
         y = nn.Dense(self.dim, dtype=self.dtype, name="patch_to_embedding")(y)
+        if embed_override is not None:
+            # GradCAM token hook (gradcam_transformer.py equivalent)
+            y = embed_override
+        self.sow("intermediates", "patch_tokens", y)
 
         if self.embed_block is not None:
             if self.embed_block[0] == "sla":

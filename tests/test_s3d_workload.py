@@ -186,3 +186,22 @@ def test_gradcam_smoke():
     assert overlay.shape == (224, 224, 3)
     cropped = center_crop_img(np.zeros((100, 160, 3), np.uint8), 64)
     assert cropped.shape == (64, 64, 3)
+
+
+def test_gradcam_tokens_smoke():
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.evaluate.gradcam import gradcam_tokens
+    from fac_fake_tpu.models.cvit import CViT
+
+    # 4-pool stem -> 14x14 feature, patch 7 -> 4 patches (2x2 grid)
+    spec = ()
+    for _ in range(4):
+        spec += (("conv", 8), ("bn", 8), ("relu",), ("pool",))
+    model = CViT(stem_spec=spec, dim=32, depth=1, heads=2, mlp_dim=32,
+                 pos_mode="patch")
+    x = jnp.asarray(np.random.default_rng(0)
+                    .random((2, 224, 224, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    cams = gradcam_tokens(model, variables, x)
+    assert cams.shape == (2, 2, 2)
