@@ -20,7 +20,8 @@ IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
 
 
 class CropFolderDataset:
-    def __init__(self, root: str, image_size: int = 224):
+    def __init__(self, root: str, image_size: int = 224,
+                 use_native: Optional[bool] = None):
         self.root = root
         self.image_size = image_size
         self.classes = sorted(d for d in os.listdir(root)
@@ -31,6 +32,13 @@ class CropFolderDataset:
             for f in sorted(os.listdir(cdir)):
                 if f.lower().endswith(IMG_EXTS):
                     self.samples.append((os.path.join(cdir, f), label))
+        # native C++ batch decoder (JPEG-only): auto unless forced
+        if use_native is None:
+            from fac_fake_tpu.data import native_loader
+            use_native = native_loader.available() and all(
+                p.lower().endswith((".jpg", ".jpeg"))
+                for p, _ in self.samples[:64])
+        self.use_native = use_native
 
     def __len__(self):
         return len(self.samples)
@@ -66,7 +74,17 @@ class CropFolderDataset:
                 else range(0, n, batch_size)
             for start in stops:
                 idxs = order[start:start + batch_size]
-                imgs = list(pool.map(lambda i: self._load(self.samples[i][0]), idxs))
+                if self.use_native:
+                    from fac_fake_tpu.data import native_loader
+                    arr, ok = native_loader.decode_batch(
+                        [self.samples[i][0] for i in idxs], self.image_size,
+                        threads=num_workers)
+                    imgs = [arr[k] if ok[k] else
+                            self._load(self.samples[i][0])
+                            for k, i in enumerate(idxs)]
+                else:
+                    imgs = list(pool.map(
+                        lambda i: self._load(self.samples[i][0]), idxs))
                 labels = np.array([self.samples[i][1] for i in idxs], np.int32)
                 mask = np.ones(batch_size, np.float32)
                 if len(idxs) < batch_size:  # eval tail: pad + mask
