@@ -25,6 +25,8 @@ def parse_args(argv=None):
     ap.add_argument("--metadata", default=None,
                     help="metadata.json to report accuracy/AUC against")
     ap.add_argument("--workers", type=int, default=1)
+    ap.add_argument("--batched", action="store_true",
+                    help="pack many videos per forward (throughput mode)")
     ap.add_argument("--set", nargs="*", default=[])
     return ap.parse_args(argv)
 
@@ -60,7 +62,8 @@ def main(argv=None):
 
     scorer = VideoScorer(model, variables, cfg)
     t0 = time.perf_counter()
-    df = scorer.predict_to_csv(args.videos, args.save_csv, args.workers)
+    df = scorer.predict_to_csv(args.videos, args.save_csv, args.workers,
+                               batched=args.batched)
     dt = time.perf_counter() - t0
     print(df.to_string(index=False))
     print(f"--- {dt // 60:.0f} m {dt % 60:.0f} s ---")

@@ -139,14 +139,78 @@ class VideoScorer:
         with ThreadPoolExecutor(max_workers=num_workers) as ex:
             return list(ex.map(self.score_video, paths))
 
+    # --- batched multi-video scoring (production throughput path) ---------
+    VIDEO_SLOT = 32       # ≥ the 29-crop/video cap; pos rows = slot rows
+    VIDEO_BUCKETS = (8, 32)
+
+    def _batched_fn(self, v_cap: int):
+        if not hasattr(self, "_batched_cache"):
+            self._batched_cache = {}
+        if v_cap in self._batched_cache:
+            return self._batched_cache[v_cap]
+
+        model, slot = self.model, self.VIDEO_SLOT
+        legacy = getattr(model, "pos_mode", "legacy") == "legacy"
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+
+        def fn(v, crops_u8, counts):
+            # crops (V, slot, H, W, 3); counts (V,)
+            vv = crops_u8.shape[0]
+            x = crops_u8.reshape(vv * slot, *crops_u8.shape[2:])
+            x = (x.astype(jnp.float32) / 255.0 - mean) / std
+            kw = {}
+            if legacy:
+                # row-within-slot == the reference's single-chunk pos rows
+                kw["pos_indices"] = jnp.tile(jnp.arange(slot), vv)
+            logits = model.apply(v, x, train=False, **kw).reshape(vv, slot, -1)
+            return jax.vmap(aggregate_probs)(logits, counts)
+
+        jfn = jax.jit(fn)
+        self._batched_cache[v_cap] = jfn
+        return jfn
+
+    def score_videos_batched(self, paths: Sequence[str],
+                             num_workers: int = 4) -> List[float]:
+        """Batch crops of MANY videos into one forward (the SURVEY §5.7
+        'throughput from batching across frames and videos' design): V-video
+        slots of 32 rows each, vmapped aggregation — scores are identical to
+        per-video scoring."""
+        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+            crops_list = list(ex.map(self.gather_crops, paths))
+
+        results: List[float] = [self.cfg.infer.no_face_score] * len(paths)
+        todo = [(i, c) for i, c in enumerate(crops_list) if c.shape[0] > 0]
+        slot = self.VIDEO_SLOT
+        pos = 0
+        while pos < len(todo):
+            remaining = len(todo) - pos
+            v_cap = next((b for b in self.VIDEO_BUCKETS if remaining <= b),
+                         self.VIDEO_BUCKETS[-1])
+            chunk = todo[pos:pos + v_cap]
+            packed = np.zeros((v_cap, slot, *chunk[0][1].shape[1:]), np.uint8)
+            counts = np.zeros((v_cap,), np.int32)
+            for k, (_, crops) in enumerate(chunk):
+                n = min(crops.shape[0], slot)
+                packed[k, :n] = crops[:n]
+                counts[k] = n
+            probs = self._batched_fn(v_cap)(
+                self.variables, jnp.asarray(packed), jnp.asarray(counts))
+            probs = np.asarray(probs)
+            for k, (i, _) in enumerate(chunk):
+                results[i] = float(probs[k])
+            pos += len(chunk)
+        return results
+
     def predict_to_csv(self, video_dir: str, save_csv: str,
-                       num_workers: int = 1):
+                       num_workers: int = 1, batched: bool = False):
         """Directory scan + CSV dump, schema `filename,label`
         (`cvit_prediction.py:342-343`)."""
         import pandas as pd
         filenames = sorted(f for f in os.listdir(video_dir) if f.endswith(".mp4"))
-        preds = self.score_videos([os.path.join(video_dir, f) for f in filenames],
-                                  num_workers)
+        paths = [os.path.join(video_dir, f) for f in filenames]
+        preds = (self.score_videos_batched(paths, num_workers) if batched
+                 else self.score_videos(paths, num_workers))
         df = pd.DataFrame({"filename": filenames, "label": preds})
         os.makedirs(os.path.dirname(save_csv) or ".", exist_ok=True)
         df.to_csv(save_csv, index=False)

@@ -131,3 +131,27 @@ def test_score_crops_matches_reference_chunked_algorithm():
     f_c, r_c = probs[:, 0].mean(), probs[:, 1].mean()
     expected = f_c if f_c > r_c else abs(1 - r_c)
     assert got == pytest.approx(float(expected), abs=1e-5)
+
+
+def test_batched_video_scoring_matches_per_video():
+    """score_videos_batched packs V×32 slots; results must equal per-video
+    score_crops for ≤32-crop videos."""
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.core.config import Config
+    from fac_fake_tpu.infer.predictor import VideoScorer
+
+    model = _tiny_cvit()
+    variables = model.init(jax.random.key(2), jnp.zeros((1, 224, 224, 3)))
+    cfg = Config()
+    scorer = VideoScorer(model, variables, cfg)
+
+    rng = np.random.default_rng(3)
+    crops_sets = [rng.integers(0, 255, (n, 224, 224, 3), dtype=np.uint8)
+                  for n in (5, 12, 0, 2)]
+    scorer.gather_crops = lambda p: crops_sets[int(p)]
+
+    batched = scorer.score_videos_batched(["0", "1", "2", "3"])
+    single = [scorer.score_crops(c) for c in crops_sets]
+    np.testing.assert_allclose(batched, single, atol=2e-5)
+    assert batched[2] == 0.5 and batched[3] == 0.5
