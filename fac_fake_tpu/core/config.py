@@ -136,6 +136,8 @@ class AugmentConfig:
     rot90: bool = True
     transpose: bool = True
     gauss_noise: bool = True
+    sharpen: bool = True
+    emboss: bool = True
     brightness_contrast: bool = True
     hue_saturation: bool = True
     color_jitter: bool = True

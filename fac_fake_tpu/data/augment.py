@@ -91,7 +91,7 @@ def _conv3x3(img, kernel):
 def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.ndarray:
     """Apply the configured augmentations to one image with per-op coin flips
     (albumentations-style outer p plus per-op p≈0.5 group behavior)."""
-    keys = jax.random.split(key, 12)
+    keys = jax.random.split(key, 16)
     p = cfg.prob
 
     def coin(k):
@@ -117,6 +117,23 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.n
         noise = sigma * jax.random.normal(keys[5], img.shape)
         img = jnp.where(coin(keys[5])[None, None, None],
                         jnp.clip(img + noise, 0, 1), img)
+    if cfg.sharpen:
+        # albumentations Sharpen: blend with a laplacian-sharpened image
+        alpha = jax.random.uniform(keys[12], (), minval=0.2, maxval=0.5)
+        lightness = jax.random.uniform(keys[13], (), minval=0.5, maxval=1.0)
+        k = jnp.array([[-1, -1, -1], [-1, 8 + lightness, -1], [-1, -1, -1]],
+                      jnp.float32) * alpha + \
+            jnp.array([[0, 0, 0], [0, 1 - alpha, 0], [0, 0, 0]], jnp.float32) \
+            * jnp.float32(1.0)
+        sharpened = jnp.clip(_conv3x3(img, k), 0, 1)
+        img = jnp.where(coin(keys[12])[None, None, None], sharpened, img)
+    if cfg.emboss:
+        alpha = jax.random.uniform(keys[14], (), minval=0.2, maxval=0.5)
+        strength = jax.random.uniform(keys[15], (), minval=0.2, maxval=0.7)
+        emb = jnp.array([[-1 - strength, 0, 0], [0, 1, 0], [0, 0, 1 + strength]],
+                        jnp.float32)
+        embossed = jnp.clip(_conv3x3(img, emb) * alpha + img * (1 - alpha), 0, 1)
+        img = jnp.where(coin(keys[14])[None, None, None], embossed, img)
     if cfg.rotation_deg > 0:
         ang = jax.random.uniform(keys[6], (), minval=-1.0, maxval=1.0) \
             * cfg.rotation_deg * jnp.pi / 180.0
