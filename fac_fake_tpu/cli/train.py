@@ -15,7 +15,6 @@ DDP wrapper, no DistributedSampler — SURVEY.md §2.5).
 from __future__ import annotations
 
 import argparse
-import os
 
 
 def parse_args(argv=None):

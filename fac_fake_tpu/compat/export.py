@@ -9,7 +9,7 @@ orbax weights checkpoint for Python consumers.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

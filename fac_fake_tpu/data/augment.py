@@ -15,9 +15,6 @@ All ops take/return float32 images in [0,1], HWC.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

@@ -18,9 +18,8 @@ import json
 import os
 import random
 import shutil
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, List, Optional
 
-import numpy as np
 
 
 def dfdc_part_split(part: int) -> str:

@@ -17,6 +17,7 @@ via `convert_blazeface`. Input is uint8/float NHWC 128×128; preprocessing
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Tuple
 
 import jax
@@ -189,10 +190,28 @@ class BlazeFace:
         self._nms = jax.jit(jax.vmap(functools.partial(weighted_nms, max_out=8)))
 
     @classmethod
+    def from_packaged_assets(cls):
+        """Load the vendored flax-format weights + anchors (standalone:
+        converted once from the reference's in-repo blazeface.pth)."""
+        import os
+        from flax import traverse_util
+        assets = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "assets")
+        raw = np.load(os.path.join(assets, "blazeface_flax.npz"))
+        params = traverse_util.unflatten_dict(
+            {tuple(k.split("/")): jnp.asarray(v) for k, v in raw.items()})
+        return cls({"params": params},
+                   np.load(os.path.join(assets, "anchors.npy")))
+
+    @classmethod
     def from_reference_assets(
             cls,
             weights_path: str = "/root/reference/CViT-main/helpers/blazeface.pth",
             anchors_path: str = "/root/reference/CViT-main/helpers/anchors.npy"):
+        """Convert directly from the reference's torch assets; falls back to
+        the packaged flax weights when the reference isn't mounted."""
+        if not (os.path.exists(weights_path) and os.path.exists(anchors_path)):
+            return cls.from_packaged_assets()
         from fac_fake_tpu.compat.torch_weights import load_torch_state_dict
         sd = load_torch_state_dict(weights_path)
         variables = convert_blazeface(sd)

@@ -7,7 +7,7 @@ accuracy, F1, BCE loss, ROC dumps).
 from __future__ import annotations
 
 import json
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -10,7 +10,7 @@ key corruption (`S3D-test.py:204`, §8.7).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ preferred TPU layout); checkpoint ingestion transposes torch OIHW → HWIO.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ All NHWC. One ResNet module, flags select the variant.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

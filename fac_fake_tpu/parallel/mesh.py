@@ -16,7 +16,7 @@ all_reduce (`S3D-train-GPUs.py:196-214,262-268,330-331,394-398`; SURVEY.md
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

@@ -11,7 +11,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from fac_fake_tpu.train.state import TrainState

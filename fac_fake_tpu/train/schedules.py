@@ -10,7 +10,6 @@ hyperparams (no recompile).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
 
 from fac_fake_tpu.core.config import OptimConfig
 

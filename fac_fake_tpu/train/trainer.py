@@ -29,7 +29,6 @@ from typing import Any, Callable, Dict, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from fac_fake_tpu.core.config import Config
@@ -38,8 +37,8 @@ from fac_fake_tpu.infer.predictor import IMAGENET_MEAN, IMAGENET_STD
 from fac_fake_tpu.parallel.mesh import build_mesh
 from fac_fake_tpu.train.losses import make_loss
 from fac_fake_tpu.train.schedules import build_controller
-from fac_fake_tpu.train.state import (TrainState, get_learning_rate,
-                                      make_optimizer, set_learning_rate)
+from fac_fake_tpu.train.state import (TrainState, make_optimizer,
+                                      set_learning_rate)
 
 
 def _count_correct(logits: jnp.ndarray, labels: jnp.ndarray,
