@@ -22,25 +22,61 @@ from fac_fake_tpu.core.config import AugmentConfig
 
 
 # --- geometry ---------------------------------------------------------------
+#
+# TPU note: per-pixel gather warps (map_coordinates) are ~10× the cost of the
+# whole model step on TPU. Rotation decomposes into three shears
+# (Sx(-tan θ/2) · Sy(sin θ) · Sx(-tan θ/2)), and a shear with a row-dependent
+# shift is a stack of small 1-D interpolation matrices — so the entire affine
+# (rotate+scale+shift) becomes a handful of batched matmuls that ride the
+# MXU. The geometry params are sampled once per *batch* (per-image coin flips
+# still decide who gets warped), which is the price of sharing the matrices.
 
-def _affine_warp(img, angle_rad, scale, tx, ty):
-    """Inverse-mapped bilinear affine warp around the image center."""
-    h, w, _ = img.shape
+
+def _shift_matrix(n: int, shifts: jnp.ndarray) -> jnp.ndarray:
+    """(rows, n, n) bilinear 1-D translation matrices: out[v] = in[v + t_r],
+    zero fill outside (the reference warp's constant padding)."""
+    v = jnp.arange(n, dtype=jnp.float32)[None, :, None]       # out index
+    w = jnp.arange(n, dtype=jnp.float32)[None, None, :]       # in index
+    src = v + shifts[:, None, None]                           # (rows, n, 1)
+    d = 1.0 - jnp.abs(w - src)
+    return jnp.clip(d, 0.0, 1.0)
+
+
+def _scale_matrix(n: int, scale: jnp.ndarray) -> jnp.ndarray:
+    """(n, n) bilinear center-anchored 1-axis zoom by 1/scale."""
+    c = (n - 1) / 2.0
+    v = jnp.arange(n, dtype=jnp.float32)[:, None]
+    w = jnp.arange(n, dtype=jnp.float32)[None, :]
+    src = (v - c) / scale + c
+    d = 1.0 - jnp.abs(w - src)
+    return jnp.clip(d, 0.0, 1.0)
+
+
+def batch_affine_matmul(imgs: jnp.ndarray, angle: jnp.ndarray,
+                        scale: jnp.ndarray, tx: jnp.ndarray,
+                        ty: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) affine warp with shared per-batch params, as matmuls."""
+    b, h, w, c = imgs.shape
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None] - cy
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :] - cx
-    cos, sin = jnp.cos(angle_rad) / scale, jnp.sin(angle_rad) / scale
-    src_y = cos * ys - sin * xs + cy - ty
-    src_x = sin * ys + cos * xs + cx - tx
-    coords = jnp.stack([jnp.broadcast_to(src_y, (h, w)),
-                        jnp.broadcast_to(src_x, (h, w))])
+    a = -jnp.tan(angle / 2.0)
+    s = jnp.sin(angle)
 
-    def warp_channel(c):
-        return jax.scipy.ndimage.map_coordinates(c, list(coords), order=1,
-                                                 mode="constant", cval=0.0)
+    rows = jnp.arange(h, dtype=jnp.float32) - cy
+    cols = jnp.arange(w, dtype=jnp.float32) - cx
+    # shear-x: row-dependent x-shift a·(y−cy) (+ tx folded into first pass)
+    sx1 = _shift_matrix(w, a * rows - tx)                 # (h, w, w)
+    sy = _shift_matrix(h, s * cols - ty)                  # (w, h, h)
+    sx2 = _shift_matrix(w, a * rows)                      # (h, w, w)
+    zy = _scale_matrix(h, scale)
+    zx = _scale_matrix(w, scale)
 
-    return jnp.stack([warp_channel(img[..., k]) for k in range(img.shape[-1])],
-                     axis=-1)
+    x = imgs
+    x = jnp.einsum("hvw,bhwc->bhvc", sx1, x)              # shear x
+    x = jnp.einsum("wvh,bhwc->bvwc", sy, x)               # shear y
+    x = jnp.einsum("hvw,bhwc->bhvc", sx2, x)              # shear x
+    x = jnp.einsum("vh,bhwc->bvwc", zy, x)                # zoom y
+    x = jnp.einsum("uw,bhwc->bhuc", zx, x)                # zoom x
+    return x
 
 
 # --- color ------------------------------------------------------------------
@@ -131,14 +167,6 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.n
                         jnp.float32)
         embossed = jnp.clip(_conv3x3(img, emb) * alpha + img * (1 - alpha), 0, 1)
         img = jnp.where(coin(keys[14])[None, None, None], embossed, img)
-    if cfg.rotation_deg > 0:
-        ang = jax.random.uniform(keys[6], (), minval=-1.0, maxval=1.0) \
-            * cfg.rotation_deg * jnp.pi / 180.0
-        scale = jax.random.uniform(keys[7], (), minval=0.9, maxval=1.1)
-        shift = jax.random.uniform(keys[7], (2,), minval=-0.0625, maxval=0.0625) \
-            * img.shape[0]
-        warped = _affine_warp(img, ang, scale, shift[0], shift[1])
-        img = jnp.where(coin(keys[8])[None, None, None], warped, img)
     if cfg.brightness_contrast:
         a = jax.random.uniform(keys[9], (), minval=-0.2, maxval=0.2)
         b = jax.random.uniform(keys[9], (), minval=-0.2, maxval=0.2)
@@ -170,6 +198,22 @@ def augment_batch(key: jax.Array, batch_u8: jnp.ndarray,
         return imgs
     shape = imgs.shape
     flat = imgs.reshape(-1, *shape[-3:])
-    keys = jax.random.split(key, flat.shape[0])
+    n = flat.shape[0]
+    key, gk = jax.random.split(key)
+    keys = jax.random.split(key, n)
     out = jax.vmap(lambda k, im: augment_image(k, im, cfg))(keys, flat)
+
+    if cfg.rotation_deg > 0:
+        # affine (rotate/scale/shift) with per-batch params as MXU matmuls;
+        # per-image coin decides who gets warped (see geometry note above)
+        k1, k2, k3, k4 = jax.random.split(gk, 4)
+        ang = jax.random.uniform(k1, (), minval=-1.0, maxval=1.0) \
+            * cfg.rotation_deg * jnp.pi / 180.0
+        scale = jax.random.uniform(k2, (), minval=0.9, maxval=1.1)
+        shift = jax.random.uniform(k3, (2,), minval=-0.0625, maxval=0.0625) \
+            * shape[-3]
+        warped = jnp.clip(batch_affine_matmul(out, ang, scale,
+                                              shift[0], shift[1]), 0, 1)
+        apply = jax.random.uniform(k4, (n,)) < cfg.prob
+        out = jnp.where(apply[:, None, None, None], warped, out)
     return out.reshape(shape)

@@ -155,6 +155,12 @@ class CViT(nn.Module):
             [jnp.broadcast_to(cls.astype(y.dtype), (b, 1, self.dim)), y], axis=1)
 
         if self.pos_mode == "legacy":
+            if pos_indices is None and b > LEGACY_POS_ROWS:
+                raise ValueError(
+                    f"legacy pos-embedding caps batch at {LEGACY_POS_ROWS} "
+                    f"(got {b}) — the reference's (32,1,dim) quirk "
+                    "(model/cvit.py:154). Use pos_embedding_mode='patch' for "
+                    "larger batches, or pass pos_indices.")
             pos = self.param("pos_embedding", nn.initializers.normal(1.0),
                              (LEGACY_POS_ROWS, 1, self.dim))
             pe = pos[:b] if pos_indices is None else pos[pos_indices]

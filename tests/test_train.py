@@ -130,3 +130,35 @@ def test_augment_batch_shapes():
     out2 = jax.jit(lambda k, b: augment_batch(k, b, AugmentConfig()))(
         jax.random.key(1), jnp.asarray(x))
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_batch_affine_matmul_approximates_gather_warp():
+    """The shear-matmul affine (TPU-friendly, 3-pass) must track the classic
+    map_coordinates inverse warp. The composed coordinate map is exactly
+    R(-θ); resampling happens in three bilinear passes instead of one, so
+    agreement is checked on a smooth image (multi-pass interpolation blurs
+    high frequencies slightly — fine for augmentation)."""
+    import jax.numpy as jnp
+    from scipy import ndimage
+    from fac_fake_tpu.data.augment import batch_affine_matmul
+
+    ys, xs = np.mgrid[0:64, 0:64].astype(np.float32)
+    img = (np.sin(ys / 9.0) * np.cos(xs / 7.0) * 0.5 + 0.5)[None, :, :, None]
+    ang = 0.2
+    ours = np.asarray(batch_affine_matmul(
+        jnp.asarray(img), jnp.float32(ang), jnp.float32(1.0),
+        jnp.float32(0.0), jnp.float32(0.0)))[0, :, :, 0]
+
+    cy = cx = (64 - 1) / 2
+    th = -ang
+    src_y = np.cos(th) * (ys - cy) - np.sin(th) * (xs - cx) + cy
+    src_x = np.sin(th) * (ys - cy) + np.cos(th) * (xs - cx) + cx
+    ref = ndimage.map_coordinates(img[0, :, :, 0].astype(np.float64),
+                                  [src_y, src_x], order=1, cval=0.0)
+    inner = (slice(12, 52),) * 2
+    assert np.abs(ours[inner] - ref[inner]).max() < 0.02
+    # identity transform is exact
+    ident = np.asarray(batch_affine_matmul(
+        jnp.asarray(img), jnp.float32(0.0), jnp.float32(1.0),
+        jnp.float32(0.0), jnp.float32(0.0)))[0, :, :, 0]
+    np.testing.assert_allclose(ident, img[0, :, :, 0], atol=1e-5)
