@@ -116,6 +116,17 @@ def main(argv=None):
     if args.history:
         Trainer.save_history(out["history"], args.history)
     print(f"best val acc: {out['history'].get('best_acc')}")
+
+    # final test-split pass (`cvit_train.py:214-233`)
+    if not is_clip and "test" in session and len(session["test"]):
+        st = out["state"]
+        _, _, te = trainer._run_epoch(
+            st, session["test"].batches(cfg.data.batch_size, shuffle=False,
+                                        drop_last=False,
+                                        num_workers=cfg.data.num_workers),
+            None, train=False)
+        print(f"test split: loss {te['loss']:.4f} acc {te['acc']:.4f}")
+        out["test"] = te
     return out
 
 
