@@ -423,7 +423,11 @@ def convert_reskan(state_dict, variables):
     return _fill(variables, state_dict, key_fn)
 
 
-def convert_resvitkan(state_dict, variables):
+def convert_resvitkan(state_dict, variables, head: str = "kan"):
+    """head='kan': ResVitKan (kan_head.*); head='mlp': plain resvit
+    (mlp_head.* Sequential)."""
+    hname = "kan_head" if head == "kan" else "mlp_head"
+
     def key_fn(path):
         col, rest = path[0], path[1:]
         leaf = rest[-1]
@@ -434,11 +438,14 @@ def convert_resvitkan(state_dict, variables):
         if rest == ["pos_embedding"] or rest == ["cls_token"]:
             return rest[0], t_id
         if rest[0] == "patch_to_embedding":
-            return ((f"patch_to_embedding.weight", t_dense) if leaf == "kernel"
+            return (("patch_to_embedding.weight", t_dense) if leaf == "kernel"
                     else ("patch_to_embedding.bias", t_id))
         if rest[0] == "head_fc":
-            return ((f"kan_head.0.weight", t_dense) if leaf == "kernel"
-                    else ("kan_head.0.bias", t_id))
+            return ((f"{hname}.0.weight", t_dense) if leaf == "kernel"
+                    else (f"{hname}.0.bias", t_id))
+        if rest[0] == "head_out":
+            return ((f"{hname}.3.weight", t_dense) if leaf == "kernel"
+                    else (f"{hname}.3.bias", t_id))
         if rest[0] == "head_kan":
             return _kan_key(rest[1:], col, leaf, "kan_head.3")
         raise KeyError(f"resvitkan path {path}")

@@ -130,3 +130,29 @@ class LandmarkCache:
         for f in os.listdir(self.tempdir):
             if f.endswith(".npy"):
                 os.remove(os.path.join(self.tempdir, f))
+
+
+def mask_faces_in_folder(src_dir: str, out_dir: str, method: str = "black",
+                         mask_number: int = 4, tempdir: str = "/tmp/fac_landmarks",
+                         seed: int = 0) -> int:
+    """Batch/folder masking (`face_mask/get_masked_facees*.py` equivalents):
+    mask every image in `src_dir`, writing to `out_dir`. Returns count."""
+    import cv2
+    cache = LandmarkCache(tempdir)
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for name in sorted(os.listdir(src_dir)):
+        if not name.lower().endswith((".png", ".jpg", ".jpeg")):
+            continue
+        img = cv2.imread(os.path.join(src_dir, name), cv2.IMREAD_COLOR)
+        if img is None:
+            continue
+        rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        lm = cache.get(rgb, os.path.splitext(name)[0])
+        order = rng.permutation(8).tolist()
+        masked = apply_face_mask(rgb, lm, order, method, mask_number, rng)
+        cv2.imwrite(os.path.join(out_dir, name),
+                    cv2.cvtColor(masked, cv2.COLOR_RGB2BGR))
+        n += 1
+    return n

@@ -148,9 +148,12 @@ class ResKan(nn.Module):
 
 
 class ResVitKan(nn.Module):
-    """resnet50 stem → CViT transformer → Linear+Dropout+ReLU+KAN head
-    (`ResVitKan/ResVitKan.py:284-330`). Keeps the 32-row batch-indexed
-    pos-embedding quirk (`:294`)."""
+    """ResNet stem → CViT transformer → head.
+
+    head='kan': Linear+Dropout+ReLU+KAN (`ResVitKan/ResVitKan.py:284-330`).
+    head='mlp': Linear+Dropout+ReLU+Linear — the plain `resvit` variant
+    (`model/other/resvit.py:284-322`, resnet18 stem, no channel squeeze).
+    Keeps the 32-row batch-indexed pos-embedding quirk (`:294`)."""
     patch_size: int = 7
     num_classes: int = 2
     dim: int = 1024
@@ -158,13 +161,16 @@ class ResVitKan(nn.Module):
     heads: int = 8
     mlp_dim: int = 2048
     pos_mode: str = "legacy"
+    resnet_depth: int = 50
+    head: str = "kan"              # kan | mlp
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, img, train: bool = False, mask=None, pos_indices=None):
         from fac_fake_tpu.models.cvit import LEGACY_POS_ROWS, patchify
 
-        x = ResNet(50, relu_before_add=True, squeeze_512=True,
+        x = ResNet(self.resnet_depth, relu_before_add=self.resnet_depth >= 50,
+                   squeeze_512=self.resnet_depth >= 50,
                    dtype=self.dtype, name="features")(img, train)
         y = patchify(x, self.patch_size)
         y = nn.Dense(self.dim, dtype=self.dtype, name="patch_to_embedding")(y)
@@ -189,8 +195,12 @@ class ResVitKan(nn.Module):
         h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="head_fc")(h)
         h = nn.Dropout(0.5, deterministic=not train)(h)
         h = nn.relu(h)
-        return KAN((self.mlp_dim, 64, self.num_classes), dtype=self.dtype,
-                   name="head_kan")(h).astype(jnp.float32)
+        if self.head == "kan":
+            out = KAN((self.mlp_dim, 64, self.num_classes), dtype=self.dtype,
+                      name="head_kan")(h)
+        else:
+            out = nn.Dense(self.num_classes, dtype=self.dtype, name="head_out")(h)
+        return out.astype(jnp.float32)
 
 
 def _dt(cfg):
@@ -209,3 +219,12 @@ def build_resvitkan(cfg):
                      dim=cfg.dim, depth=cfg.depth, heads=cfg.heads,
                      mlp_dim=cfg.mlp_dim, pos_mode=cfg.pos_embedding_mode,
                      dtype=_dt(cfg))
+
+
+@register("model", "resvit")
+def build_resvit(cfg):
+    """`model/other/resvit.py`: resnet18 stem + ViT + Dropout-MLP head."""
+    return ResVitKan(patch_size=cfg.patch_size, num_classes=cfg.num_classes,
+                     dim=cfg.dim, depth=cfg.depth, heads=cfg.heads,
+                     mlp_dim=cfg.mlp_dim, pos_mode=cfg.pos_embedding_mode,
+                     resnet_depth=18, head="mlp", dtype=_dt(cfg))

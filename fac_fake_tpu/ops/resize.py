@@ -68,3 +68,28 @@ def resize_bilinear(images: jnp.ndarray,
     tmp = jnp.einsum("oh,bhwc->bowc", ry, x, preferred_element_type=jnp.float32)
     return jnp.einsum("pw,bowc->bopc", rx, tmp,
                       preferred_element_type=jnp.float32)
+
+
+def isotropic_resize(img, max_side: int, interpolation="linear"):
+    """Aspect-preserving longest-side resize (`S3D/transforms/albu.py:9-45`
+    IsotropicResize), host-side cv2 (dataset preprocessing path)."""
+    import cv2
+    import numpy as np
+    h, w = img.shape[:2]
+    if max(h, w) == max_side:
+        return img
+    scale = max_side / max(h, w)
+    interp = cv2.INTER_AREA if scale < 1 and interpolation == "area" \
+        else (cv2.INTER_LINEAR if interpolation == "linear" else cv2.INTER_CUBIC)
+    return cv2.resize(img, (int(w * scale), int(h * scale)),
+                      interpolation=interp)
+
+
+@functools.partial(jax.jit, static_argnames=("factor",))
+def resize_4x_and_back(images: jnp.ndarray, factor: int = 4) -> jnp.ndarray:
+    """Quality-degradation aug (`S3D/transforms/albu.py:48-58`
+    Resize4xAndBack): downscale by `factor` and back up — on device, as two
+    pairs of interpolation matmuls."""
+    b, h, w, c = images.shape
+    small = resize_bilinear(images, (h // factor, w // factor))
+    return resize_bilinear(small, (h, w))

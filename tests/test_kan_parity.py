@@ -124,3 +124,34 @@ def test_resvitkan_matches_reference(monkeypatch):
 
     out = model.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-4, atol=3e-4)
+
+
+@requires_reference
+def test_resvit_matches_reference(monkeypatch):
+    import torch
+
+    monkeypatch.setitem(sys.modules, "torchsummary",
+                        types.SimpleNamespace(summary=lambda *a, **k: None))
+    rv = _import_from("/root/reference/CViT-main/model/other", "resvit")
+    torch.manual_seed(0)
+    tmodel = rv.CViT()
+    tmodel.eval()
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.compat.torch_weights import convert_resvitkan
+    from fac_fake_tpu.core.config import ModelConfig
+    from fac_fake_tpu.models import build_model
+
+    model = build_model(ModelConfig(name="resvit"))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables = convert_resvitkan(sd, variables, head="mlp")
+
+    out = model.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-4, atol=3e-4)
