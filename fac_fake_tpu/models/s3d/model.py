@@ -9,9 +9,9 @@ One sequence-executing module replaces the reference's four near-identical
   * msca_S3D     — `S3D/msca_S3D.py:17-72` / `msca_S3Dv1.py:74-129` (iFormer
                    hybrid, reduced 5b/5c tail);
   * msca_S3D_SRM — `msca_S3Dv1.py:17-72` (residual 3-filter SRM: y = x+SRM(x),
-                   + MSCAN_half stem block) and the v2 ratio swap
-                   (`msca_S3Dv2.py`, diff-verified: full iFormer at 192, one
-                   fewer light block at 320·1/3, no stem MSCAN_half).
+                   + MSCAN_half stem block); v2 variants (`msca_S3Dv2.py`,
+                   diff-verified): msca_S3Dv2 = all-full iFormer blocks,
+                   msca_S3D_SRM-v2 = v1 structure without the stem MSCAN_half.
 
 This also fixes the reference's shipped import bug (`S3D-train.py:30` imports
 `msca_S3D_SRM` from a module that doesn't define it — SURVEY.md §8.6): here
@@ -75,8 +75,11 @@ def ca_s3d_spec() -> Tuple:
     )
 
 
-def msca_spec(stem_mscan: bool = False, first_full: bool = False,
-              third_lights: int = 2) -> Tuple:
+def msca_spec(stem_mscan: bool = False, all_full: bool = False) -> Tuple:
+    """msca_S3D layer plans. Default (`msca_S3D.py:85-115`/`msca_S3Dv1.py`):
+    light-light-full triplets at 320ch; `all_full` is the v2 re-plan
+    (`msca_S3Dv2.py:85-104`: two full blocks per ratio, none light);
+    `stem_mscan` adds the v1-SRM stem MSCAN_half (`msca_S3Dv1.py:31`)."""
     act = "relu6"
     spec: Tuple = (("sep", 64, 7, 2, 3, act, True),) + _P133
     if stem_mscan:
@@ -84,14 +87,18 @@ def msca_spec(stem_mscan: bool = False, first_full: bool = False,
     spec += (
         ("basic", 64, 1, 1, 0, act),
         ("sep", 192, 3, 1, 1, act, True),
-    ) + _P133 + (
-        ("iformer", 0.25, 1, not first_full),
-        ("iformer", 0.25, 1, False),
-        ("basic", 320, 1, 1, 0, act),
-    ) + _P333
-    spec += (("iformer", 1 / 3, 3, True),) * third_lights + (("iformer", 1 / 3, 3, False),)
-    spec += (("iformer", 1 / 2, 3, True),) * 2 + (("iformer", 1 / 2, 3, False),)
-    spec += (("iformer", 2 / 3, 3, True),) * 2 + (("iformer", 2 / 3, 3, False),)
+    ) + _P133
+    if all_full:
+        spec += (("iformer", 0.25, 1, False),) * 2
+        spec += (("basic", 320, 1, 1, 0, act),) + _P333
+        for ratio in (1 / 3, 1 / 2, 2 / 3):
+            spec += (("iformer", ratio, 3, False),) * 2
+    else:
+        spec += (("iformer", 0.25, 1, True), ("iformer", 0.25, 1, False),
+                 ("basic", 320, 1, 1, 0, act)) + _P333
+        for ratio in (1 / 3, 1 / 2, 2 / 3):
+            spec += (("iformer", ratio, 3, True),) * 2 \
+                + (("iformer", ratio, 3, False),)
     spec += _P222 + (
         ("mix", "m5b", act, False),   # SepConv3dV2 branches (no spatial BN)
         ("mix", "m5c", act, True),
@@ -183,14 +190,14 @@ def build_msca_s3d_srm(cfg):
 
 @register("model", "msca_s3d_v2")
 def build_msca_s3d_v2(cfg):
-    return S3DNet(spec=msca_spec(first_full=True, third_lights=1),
-                  num_class=cfg.num_class,
+    """v2 re-plan: all-full iFormer blocks (`msca_S3Dv2.py:85-104`)."""
+    return S3DNet(spec=msca_spec(all_full=True), num_class=cfg.num_class,
                   srm="concat30" if cfg.srm_net else "none", dtype=_dt(cfg))
 
 
 @register("model", "msca_s3d_srm_v2")
 def build_msca_s3d_srm_v2(cfg):
-    return S3DNet(spec=msca_spec(stem_mscan=False, first_full=True,
-                                 third_lights=1),
-                  num_class=cfg.num_class,
+    """v2 residual-SRM: v1 structure minus the stem MSCAN_half
+    (`msca_S3Dv2.py` msca_S3D_SRM, diff-verified)."""
+    return S3DNet(spec=msca_spec(stem_mscan=False), num_class=cfg.num_class,
                   srm="residual3" if cfg.srm_net else "none", dtype=_dt(cfg))
