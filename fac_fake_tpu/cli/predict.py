@@ -67,6 +67,10 @@ def main(argv=None):
     dt = time.perf_counter() - t0
     print(df.to_string(index=False))
     print(f"--- {dt // 60:.0f} m {dt % 60:.0f} s ---")
+    stats = scorer.latency_stats()
+    if stats:
+        print(f"per-video latency: p50 {stats['p50_s']:.2f}s "
+              f"p90 {stats['p90_s']:.2f}s over {stats['count']} videos")
 
     if args.metadata:
         from fac_fake_tpu.evaluate.metrics import evaluate_prediction_csv

@@ -133,7 +133,23 @@ class VideoScorer:
         return float(prob)
 
     def score_video(self, video_path: str) -> float:
-        return self.score_crops(self.gather_crops(video_path))
+        import time
+        t0 = time.perf_counter()
+        prob = self.score_crops(self.gather_crops(video_path))
+        if not hasattr(self, "video_latencies"):
+            self.video_latencies = []
+        self.video_latencies.append(time.perf_counter() - t0)
+        return prob
+
+    def latency_stats(self) -> dict:
+        """p50/p90 end-to-end per-video latency (the BASELINE.md secondary
+        metric). Empty until score_video has run."""
+        lats = sorted(getattr(self, "video_latencies", []))
+        if not lats:
+            return {}
+        return {"p50_s": lats[len(lats) // 2],
+                "p90_s": lats[int(len(lats) * 0.9)],
+                "count": len(lats)}
 
     def score_videos(self, paths: Sequence[str], num_workers: int = 1) -> List[float]:
         with ThreadPoolExecutor(max_workers=num_workers) as ex:
