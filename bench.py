@@ -32,6 +32,9 @@ def main():
 
     model = build_model(ModelConfig(name="cvit", dtype="bfloat16"))
     variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+    # production inference reparameterization: fold BN into conv weights
+    from fac_fake_tpu.compat.fold import fold_cvit
+    model, variables = fold_cvit(model, variables)
     variables = jax.device_put(variables)
 
     mean = jnp.asarray(IMAGENET_MEAN)
