@@ -50,15 +50,17 @@ def fold_stem_bn(spec: Tuple, params: dict, stats: dict) -> Tuple[Tuple, dict, d
             if kind == "conv":
                 p["kernel"] = p["kernel"] * g  # HWIO: scale out channels
                 p["bias"] = p["bias"] * g + b
-            else:  # deconv: scale every branch kernel; only the bias SUM
-                # matters, so carry the folded total on b_cd and zero the rest
-                for wk in ("w_cd", "w_hd", "w_vd", "w_ad", "w_std"):
-                    p[wk] = p[wk] * g
+            else:  # deconv: precompose the five branches into ONE conv
+                # kernel (exact — the forward sums branch weights anyway,
+                # `models/blocks/deconv.py`), then fold the BN into it
+                from fac_fake_tpu.models.blocks.deconv import \
+                    compose_deconv_weight
+                w = np.asarray(compose_deconv_weight(
+                    p["w_cd"], p["w_hd"], p["w_vd"], p["w_ad"], p["w_std"]))
                 total_b = sum(np.asarray(params[name][bk])
                               for bk in ("b_cd", "b_hd", "b_vd", "b_ad", "b_std"))
-                p["b_cd"] = total_b * g + b
-                for bk in ("b_hd", "b_vd", "b_ad", "b_std"):
-                    p[bk] = np.zeros_like(p[bk])
+                p = {"kernel": w * g, "bias": total_b * g + b}
+                op = ("conv", op[1])
             new_params[f"l{out_i}"] = p
             new_spec.append(op)
             remap[i] = out_i
