@@ -51,3 +51,14 @@ def test_profiling_utils():
     fl = flops_estimate(lambda a, b: a @ b, a, a)
     assert fl != fl or fl >= 2 * 64 ** 3 * 0.5  # nan allowed, else ~2·n³
     assert param_count({"w": np.zeros((3, 4))}) == 12
+
+
+def test_profiler_trace_writes(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path)):
+        jnp.sum(jnp.ones((128, 128))).block_until_ready()
+    import glob
+    assert glob.glob(str(tmp_path) + "/**/*.xplane.pb", recursive=True)

@@ -162,3 +162,29 @@ def test_batch_affine_matmul_approximates_gather_warp():
         jnp.asarray(img), jnp.float32(0.0), jnp.float32(1.0),
         jnp.float32(0.0), jnp.float32(0.0)))[0, :, :, 0]
     np.testing.assert_allclose(ident, img[0, :, :, 0], atol=1e-5)
+
+
+def test_tensor_parallel_training_on_mesh():
+    """dp×tp mesh (4×2): params shard over 'model', training still learns."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from fac_fake_tpu.core.config import MeshConfig
+    from fac_fake_tpu.parallel.mesh import build_mesh, param_sharding_rules
+    from fac_fake_tpu.train.trainer import Trainer
+
+    mesh = build_mesh(MeshConfig(data=4, model=2))
+    cfg = _small_cfg(epochs=3)
+    cfg.train.optim.lr = 3e-3
+    trainer = Trainer(_tiny_model(), cfg, mesh=mesh,
+                      input_shape=(1, 32, 32, 3), tp_min_size=0)
+    state = trainer.shard_state(trainer.init_state())
+
+    # at least one kernel actually sharded over 'model'
+    rules = param_sharding_rules(mesh, state.params, min_size=0)
+    specs = [s.spec for s in jax.tree.leaves(rules)]
+    assert any(spec == P(None, "model") for spec in specs)
+
+    batches = synthetic_batches(8, 16, image_size=32)
+    out = trainer.fit(lambda e: iter(batches), state=state)
+    h = out["history"]
+    assert h["train_loss"][-1] < h["train_loss"][0]
