@@ -119,6 +119,16 @@ class ClipDataset:
                 lm = self._landmarks(img, f"{vid}_{j}")
                 img = apply_face_mask(img, lm, region_order, self.mask_method,
                                       self.mask_number, rng)
+            elif self.mask_method in ("black68", "noise68"):
+                # 68-landmark variant (`get_masked_face.py`): interpolated
+                # 68-point set, always 3 regions
+                from fac_fake_tpu.data.masking import (apply_face_mask_68,
+                                                       interpolate_68_from_5)
+                lm = self._landmarks(img, f"{vid}_{j}")
+                p68 = None if lm is None else interpolate_68_from_5(
+                    lm, *img.shape[:2])
+                img = apply_face_mask_68(img, p68, region_order,
+                                         self.mask_method, rng)
             if self.gray:
                 g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
                 img = np.stack([g] * 3, axis=-1)
@@ -133,14 +143,17 @@ class ClipDataset:
         if shuffle:
             np.random.RandomState(seed + epoch).shuffle(order)
         order = order[process_index::process_count]
-        rng = np.random.default_rng(seed + epoch)
+
+        # one child generator per sample: numpy Generators are not
+        # thread-safe, and the pool calls load_clip concurrently
+        def load(i):
+            rng = np.random.default_rng([seed, epoch, int(i)])
+            return self.load_clip(int(i), rng), self.samples[int(i)][1]
 
         pool = ThreadPoolExecutor(max_workers=num_workers)
         try:
             buf_clips, buf_labels = [], []
-            for clip, label in pool.map(
-                    lambda i: (self.load_clip(int(i), rng), self.samples[int(i)][1]),
-                    order):
+            for clip, label in pool.map(load, order):
                 if clip is None:
                     continue
                 buf_clips.append(clip)

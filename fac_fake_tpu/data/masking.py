@@ -41,6 +41,106 @@ def landmarks_from_blazeface(detector, img_rgb: np.ndarray) -> Optional[np.ndarr
                      [mouth[0] - dx, mouth[1]], [mouth[0] + dx, mouth[1]]])
 
 
+def landmarks_from_mtcnn(detector, img_rgb: np.ndarray) -> Optional[np.ndarray]:
+    """True 5-point landmarks from the MTCNN cascade (`detect/mtcnn.py`) —
+    the reference's landmark source (`get_masked_face_simple.py:35-44`,
+    thresholds [0.65, 0.75, 0.75]). Same output contract as the BlazeFace
+    path but with real mouth corners (no ±15 % approximation)."""
+    return detector.landmarks(img_rgb)
+
+
+def interpolate_68_from_5(lm5: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Synthesize the 68-point entries the region geometry consumes (eye
+    corners/lids 36-47, mouth 48/50/52/54/57) from 5-point landmarks.
+    face_alignment is not installed in this environment; offsets are
+    face-size-proportional (augmentation-level fidelity — the region
+    *geometry* downstream is exact, `get_masked_face.py:24-43`)."""
+    out = np.zeros((68, 2), np.float32)
+    le, re, nose, ml, mr = lm5
+    ew, eh = 0.06 * w, 0.025 * h
+    # left eye: 36 outer, 39 inner, 37/38 top, 40/41 bottom
+    out[36] = le - [ew, 0]
+    out[39] = le + [ew, 0]
+    out[37] = out[38] = le - [0, eh]
+    out[40] = out[41] = le + [0, eh]
+    # right eye: 42 inner, 45 outer, 43/44 top, 46/47 bottom
+    out[42] = re - [ew, 0]
+    out[45] = re + [ew, 0]
+    out[43] = out[44] = re - [0, eh]
+    out[46] = out[47] = re + [0, eh]
+    out[30] = nose
+    mc = (np.asarray(ml) + np.asarray(mr)) / 2.0
+    out[48], out[54] = ml, mr                       # mouth corners
+    out[50] = out[52] = mc - [0, 0.04 * h]          # top lip
+    out[57] = mc + [0, 0.04 * h]                    # bottom lip
+    return out
+
+
+def mask_regions_68(h: int, w: int, preds: np.ndarray) -> List[tuple]:
+    """The 8 rectangles as (y0, y1, x0, x1) from 68-point landmarks —
+    geometry from `get_masked_face.py:24-43` (eye boxes padded by 10 % of
+    their own extent, mouth by 10 % of its width)."""
+    lel = math.ceil(preds[36, 0] - (preds[39, 0] - preds[36, 0]) * 0.1)
+    le_top_raw = min(preds[37, 1], preds[38, 1])
+    le_bot_raw = max(preds[41, 1], preds[40, 1])
+    let = math.ceil(le_top_raw - (le_bot_raw - le_top_raw) * 0.1)
+    leb = math.ceil(le_bot_raw + (le_bot_raw - le_top_raw) * 0.1)
+    re_top_raw = min(preds[43, 1], preds[44, 1])
+    re_bot_raw = max(preds[47, 1], preds[46, 1])
+    ret_ = math.ceil(re_top_raw - (re_bot_raw - re_top_raw) * 0.1)
+    rer = math.ceil(preds[45, 0] + (preds[45, 0] - preds[42, 0]) * 0.1)
+    reb = math.ceil(re_bot_raw + (re_bot_raw - re_top_raw) * 0.1)
+    mw = preds[54, 0] - preds[48, 0]
+    ml = math.ceil(preds[48, 0] - mw * 0.1)
+    mr = math.ceil(preds[54, 0] + mw * 0.1)
+    mb = math.ceil(preds[57, 1] +
+                   (preds[57, 1] - min(preds[50, 1], preds[52, 1])) * 0.1)
+    top_eyes = min(let, ret_)
+    clip = lambda v, hi: int(max(0, min(v, hi)))
+    lel, rer, ml, mr = (clip(v, w) for v in (lel, rer, ml, mr))
+    leb, reb, mb, top_eyes = (clip(v, h) for v in (leb, reb, mb, top_eyes))
+    return [
+        (0, leb, 0, lel),          # left of left eye
+        (0, top_eyes, lel, rer),   # above the eyes
+        (0, reb, rer, w),          # right of right eye
+        (leb, mb, 0, ml),          # left cheek
+        (reb, mb, mr, w),          # right cheek
+        (mb, h, 0, ml),            # lower left
+        (mb, h, ml, mr),           # chin
+        (mb, h, mr, w),            # lower right
+    ]
+
+
+MASK68_COUNT = 3  # the 68-landmark variant always masks 3 regions
+                  # (`get_masked_face.py:47,56` "超参数：3")
+
+
+def apply_face_mask_68(img: np.ndarray, preds68: Optional[np.ndarray],
+                       random_list: Sequence[int], method: str = "black",
+                       rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """68-landmark masking variant (`get_masked_face.py`): 3 random regions,
+    black fill or additive N(0,1) noise."""
+    if preds68 is None:
+        return img
+    h, w = img.shape[:2]
+    regions = mask_regions_68(h, w, preds68)
+    if method.startswith("black"):
+        out = img.copy()
+        for i in random_list[:MASK68_COUNT]:
+            y0, y1, x0, x1 = regions[i]
+            if y1 > y0 and x1 > x0:
+                out[y0:y1, x0:x1] = 0
+        return out
+    rng = rng or np.random.default_rng()
+    out = img.astype(np.float64) / 255.0
+    for i in random_list[:MASK68_COUNT]:
+        y0, y1, x0, x1 = regions[i]
+        if y1 > y0 and x1 > x0:
+            out[y0:y1, x0:x1] += rng.normal(0, 1, (y1 - y0, x1 - x0, img.shape[2]))
+            out = np.clip(out, 0, 1)
+    return np.uint8(out * 255)
+
+
 def mask_regions(h: int, w: int, lm: np.ndarray) -> List[tuple]:
     """The 8 rectangles as (y0, y1, x0, x1) — geometry from
     `get_masked_face_simple.py:48-72`."""
@@ -120,7 +220,11 @@ class LandmarkCache:
                 return np.load(path)
             except Exception:
                 os.remove(path)
-        lm = landmarks_from_blazeface(self.detector, img_rgb)
+        det = self.detector
+        if hasattr(det, "landmarks"):  # MTCNN cascade (true 5-point)
+            lm = landmarks_from_mtcnn(det, img_rgb)
+        else:
+            lm = landmarks_from_blazeface(det, img_rgb)
         if lm is not None:
             np.save(path, lm)
         return lm

@@ -54,6 +54,33 @@ def test_mask_regions_geometry():
     assert np.array_equal(apply_face_mask(img, None, [0], "black", 4), img)
 
 
+def test_mask_regions_68_geometry():
+    """68-landmark variant (`get_masked_face.py:24-43`): hand-check the eye
+    box padding math and the 3-region masking behavior."""
+    from fac_fake_tpu.data.masking import (apply_face_mask_68,
+                                           interpolate_68_from_5,
+                                           mask_regions_68)
+    import math
+    lm5 = np.array([[70, 90], [150, 90], [112, 130], [85, 170], [140, 170]],
+                   np.float32)
+    p68 = interpolate_68_from_5(lm5, 224, 224)
+    regions = mask_regions_68(224, 224, p68)
+    assert len(regions) == 8
+    # region 1 right edge = left_eye_left = ceil(x36 - (x39-x36)*0.1)
+    expect_lel = math.ceil(p68[36, 0] - (p68[39, 0] - p68[36, 0]) * 0.1)
+    assert regions[0][3] == expect_lel
+    img = np.full((224, 224, 3), 200, np.uint8)
+    out = apply_face_mask_68(img, p68, list(range(8)), "black68")
+    assert (out == 0).any() and (out == 200).any()
+    # exactly 3 regions masked: the 4th listed region stays untouched
+    y0, y1, x0, x1 = regions[3]
+    assert (out[y0:y1, x0:x1] == 200).all()
+    out2 = apply_face_mask_68(img, p68, list(range(8)), "noise68",
+                              rng=np.random.default_rng(0))
+    assert not np.array_equal(out2, img)
+    assert np.array_equal(apply_face_mask_68(img, None, [0], "black68"), img)
+
+
 def _make_crop_tree(root, n_videos=4, n_crops=24, size=32):
     import cv2
     meta = {}
