@@ -25,6 +25,11 @@ def _import_ref(modname):
 @pytest.mark.parametrize("refmod,refcls,name,srm", [
     ("msca_S3Dv1", "msca_S3D_SRM", "msca_s3d_srm", True),
     ("msca_S3Dv2", "msca_S3Dv2", "msca_s3d_v2", False),
+    # v2 with SRM='yes': 30-channel HPF front end (`msca_S3Dv2.py:78-85`)
+    ("msca_S3Dv2", "msca_S3Dv2", "msca_s3d_v2", True),
+    # v2 residual-SRM: v1 structure minus the stem MSCAN_half
+    # (`msca_S3Dv2.py:17-73`, diff-verified)
+    ("msca_S3Dv2", "msca_S3D_SRM", "msca_s3d_srm_v2", True),
 ])
 def test_msca_srm_variants_match_reference(refmod, refcls, name, srm):
     import torch

@@ -2,8 +2,10 @@
 
 Each case: import the reference variant (CPU-monkeypatched where the file
 hard-codes CUDA), random-init, convert weights into our registry-built model,
-compare eval logits. WTConv is excluded (the reference file needs pywt, which
-isn't in this image) — covered by a build+run smoke instead.
+compare eval logits. pywt isn't in this image; the WTConv case injects a
+stub exposing the standard Haar (db1) filter coefficients — the only thing
+`create_wavelet_filter` reads (`cvit_GGCA_ADD_WTConv.py:167-201`) — so the
+reference module runs its real torch math and the golden is genuine.
 """
 import sys
 import types
@@ -46,7 +48,27 @@ CASES = [
     ("cvit_ggca_mdfa_bfm", "cvit_GGCA_MDFA_BFM", REF_OTHER_DIR, False),
     ("cvit_mdfa_bfm", "cvit_MDFA_BFM", REF_OTHER_DIR, False),
     ("cvit_mdfa_ggca_bfm", "cvit_MDFA_GGCA_BFM", REF_OTHER_DIR, False),
+    ("cvit_ggca_add_wtconv", "cvit_GGCA_ADD_WTConv", REF_OTHER_DIR, True),
 ]
+
+_SQRT1_2 = 0.7071067811865476  # Haar (db1) coefficient, 1/sqrt(2)
+
+
+def _pywt_stub():
+    """Stand-in for pywt exposing only `Wavelet('db1')`'s four filter lists
+    (standard public Haar coefficients)."""
+    haar = types.SimpleNamespace(
+        dec_lo=[_SQRT1_2, _SQRT1_2], dec_hi=[-_SQRT1_2, _SQRT1_2],
+        rec_lo=[_SQRT1_2, _SQRT1_2], rec_hi=[_SQRT1_2, -_SQRT1_2])
+
+    def wavelet(name):
+        assert name == "db1", f"stub only knows db1, got {name}"
+        return haar
+
+    pywt = types.ModuleType("pywt")
+    pywt.Wavelet = wavelet
+    pywt.data = types.ModuleType("pywt.data")
+    return pywt
 
 
 def _import_ref(modname, dirpath, monkeypatch):
@@ -60,6 +82,10 @@ def _import_ref(modname, dirpath, monkeypatch):
     monkeypatch.setattr(torch.nn.Module, "cuda", lambda self, *a, **k: self)
     monkeypatch.setitem(sys.modules, "torchsummary",
                         types.SimpleNamespace(summary=lambda *a, **k: None))
+    if "pywt" not in sys.modules:
+        stub = _pywt_stub()
+        monkeypatch.setitem(sys.modules, "pywt", stub)
+        monkeypatch.setitem(sys.modules, "pywt.data", stub.data)
     sys.path.insert(0, dirpath)
     import importlib
     try:
@@ -103,16 +129,3 @@ def test_variant_logits_match_reference(name, refmod, refdir, single, monkeypatc
     np.testing.assert_allclose(np.asarray(out), ref_out, rtol=1e-3, atol=5e-4)
 
 
-def test_wtconv_variant_builds_and_runs():
-    """WTConv golden test impossible here (reference needs pywt); validate
-    build + forward shape and Haar round-trip correctness separately."""
-    import jax
-    import jax.numpy as jnp
-    from fac_fake_tpu.core.config import ModelConfig
-    from fac_fake_tpu.models import build_model
-
-    model = build_model(ModelConfig(name="cvit_ggca_add_wtconv"))
-    x = jnp.zeros((1, 224, 224, 3), jnp.float32)
-    variables = model.init(jax.random.key(0), x)
-    out = model.apply(variables, x, train=False)
-    assert out.shape == (1, 2)
