@@ -28,6 +28,12 @@ def parse_args(argv=None):
     ap.add_argument("--clips-root", default=None,
                     help="per-video crop folders root (S3D clips)")
     ap.add_argument("--metadata", default=None, help="metadata.json for clips")
+    ap.add_argument("--val-clips-root", default=None,
+                    help="held-out clips root for validation (S3D); when "
+                         "omitted, a deterministic ~15%% split of "
+                         "--clips-root is held out")
+    ap.add_argument("--val-metadata", default=None,
+                    help="metadata.json for --val-clips-root")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--warm-start", default=None,
@@ -72,11 +78,24 @@ def main(argv=None):
         cfg.train.loss = "bce_weighted"
         from fac_fake_tpu.data.clips import ClipDataset, discover_video_folders
         samples = discover_video_folders(args.clips_root, args.metadata)
-        ds = ClipDataset(samples, frames_per_video=cfg.data.frames_per_video,
-                         image_size=cfg.model.image_size,
-                         mask_method=cfg.data.mask_method,
-                         mask_number=cfg.data.mask_number,
-                         gray=cfg.data.picture_color == "gray")
+        # the reference S3D trainers drive plateau/early-stop/best-acc from a
+        # validation split (`S3D-train-GPUs.py:548-555`): use a dedicated
+        # root when given, else hold out a deterministic ~15% of the samples
+        if args.val_clips_root:
+            val_samples = discover_video_folders(args.val_clips_root,
+                                                 args.val_metadata)
+        elif len(samples) >= 7:
+            val_samples = samples[::7]
+            held = set(id(s) for s in val_samples)
+            samples = [s for s in samples if id(s) not in held]
+        else:
+            val_samples = []
+        ds_kw = dict(frames_per_video=cfg.data.frames_per_video,
+                     image_size=cfg.model.image_size,
+                     mask_method=cfg.data.mask_method,
+                     mask_number=cfg.data.mask_number,
+                     gray=cfg.data.picture_color == "gray")
+        ds = ClipDataset(samples, **ds_kw)
         if cfg.train.rebalance_pos_weight:
             loss_kwargs["pos_weight"] = ds.pos_weight() * \
                 cfg.train.rebalance_real / max(cfg.train.rebalance_fake, 1e-8)
@@ -85,6 +104,14 @@ def main(argv=None):
         train_fn = lambda e: ds.batches(cfg.data.batch_size, epoch=e,
                                         num_workers=cfg.data.num_workers)
         val_fn = None
+        if val_samples:
+            # validation keeps masking off (eval uses clean frames,
+            # `deepfakes_dataset.py:50-65`) but honors gray/size
+            val_ds = ClipDataset(val_samples, **{**ds_kw,
+                                                 "mask_method": "none"})
+            val_fn = lambda e: val_ds.batches(
+                cfg.data.batch_size, shuffle=False, drop_last=False,
+                num_workers=cfg.data.num_workers)
     else:
         from fac_fake_tpu.data.folder import build_session
         session = build_session(args.data_root, cfg.data.batch_size,

@@ -124,7 +124,11 @@ def _conv3x3(img, kernel):
 def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.ndarray:
     """Apply the configured augmentations to one image with per-op coin flips
     (albumentations-style outer p plus per-op p≈0.5 group behavior)."""
-    keys = jax.random.split(key, 16)
+    # one key per random draw: parameters and their apply-coins must be
+    # independent, otherwise conditioning on the coin silently truncates the
+    # parameter distribution (e.g. a shared key makes brightness==contrast
+    # and the coin<p region maps to the lower half of the range)
+    keys = jax.random.split(key, 21)
     p = cfg.prob
 
     def coin(k):
@@ -147,12 +151,12 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.n
         img = jnp.where(coin(keys[4])[None, None, None], img[::-1], img)
     if cfg.gauss_noise:
         sigma = jax.random.uniform(keys[5], (), minval=0.01, maxval=0.05)
-        noise = sigma * jax.random.normal(keys[5], img.shape)
-        img = jnp.where(coin(keys[5])[None, None, None],
+        noise = sigma * jax.random.normal(keys[6], img.shape)
+        img = jnp.where(coin(keys[7])[None, None, None],
                         jnp.clip(img + noise, 0, 1), img)
     if cfg.sharpen:
         # albumentations Sharpen: blend with a laplacian-sharpened image
-        alpha = jax.random.uniform(keys[12], (), minval=0.2, maxval=0.5)
+        alpha = jax.random.uniform(keys[8], (), minval=0.2, maxval=0.5)
         lightness = jax.random.uniform(keys[13], (), minval=0.5, maxval=1.0)
         k = jnp.array([[-1, -1, -1], [-1, 8 + lightness, -1], [-1, -1, -1]],
                       jnp.float32) * alpha + \
@@ -166,17 +170,17 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.n
         emb = jnp.array([[-1 - strength, 0, 0], [0, 1, 0], [0, 0, 1 + strength]],
                         jnp.float32)
         embossed = jnp.clip(_conv3x3(img, emb) * alpha + img * (1 - alpha), 0, 1)
-        img = jnp.where(coin(keys[14])[None, None, None], embossed, img)
+        img = jnp.where(coin(keys[16])[None, None, None], embossed, img)
     if cfg.brightness_contrast:
         a = jax.random.uniform(keys[9], (), minval=-0.2, maxval=0.2)
-        b = jax.random.uniform(keys[9], (), minval=-0.2, maxval=0.2)
-        img = jnp.where(coin(keys[9])[None, None, None],
+        b = jax.random.uniform(keys[17], (), minval=-0.2, maxval=0.2)
+        img = jnp.where(coin(keys[18])[None, None, None],
                         jnp.clip((img - 0.5) * (1 + a) + 0.5 + b, 0, 1), img)
     if cfg.hue_saturation or cfg.color_jitter:
         hsv = _rgb_to_hsv_vec(img)
         dh = jax.random.uniform(keys[10], (), minval=-0.05, maxval=0.05)
-        ds = jax.random.uniform(keys[10], (), minval=-0.15, maxval=0.15)
-        dv = jax.random.uniform(keys[10], (), minval=-0.15, maxval=0.15)
+        ds = jax.random.uniform(keys[19], (), minval=-0.15, maxval=0.15)
+        dv = jax.random.uniform(keys[20], (), minval=-0.15, maxval=0.15)
         shifted = _hsv_to_rgb_vec(jnp.stack(
             [hsv[..., 0] + dh, jnp.clip(hsv[..., 1] + ds, 0, 1),
              jnp.clip(hsv[..., 2] + dv, 0, 1)], axis=-1))

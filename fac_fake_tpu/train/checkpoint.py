@@ -27,6 +27,23 @@ def save_checkpoint(directory: str, state: TrainState, epoch: int):
         mgr.wait_until_finished()
 
 
+def save_best(directory: str, state: TrainState):
+    """Persist the best-so-far snapshot (overwrites). The reference writes
+    its best model to disk (`cvit_train.py:185-190`); keeping it only in
+    memory loses it on a crash."""
+    path = os.path.join(os.path.abspath(directory), "best")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state), force=True)
+
+
+def restore_best(directory: str, template: TrainState) -> TrainState:
+    path = os.path.join(os.path.abspath(directory), "best")
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                            jax.device_get(template))
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, abstract)
+
+
 def latest_epoch(directory: str) -> Optional[int]:
     if not os.path.isdir(directory):
         return None

@@ -29,6 +29,7 @@ from typing import Any, Callable, Dict, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from fac_fake_tpu.core.config import Config
@@ -39,6 +40,26 @@ from fac_fake_tpu.train.losses import make_loss
 from fac_fake_tpu.train.schedules import build_controller
 from fac_fake_tpu.train.state import (TrainState, make_optimizer,
                                       set_learning_rate)
+
+
+class DeviceCache:
+    """A dataset cached in device memory (uint8), for datasets that fit in
+    HBM: upload ONCE, then every epoch shuffles, batches, augments and steps
+    entirely on device — one `lax.scan` jit per epoch, zero host↔device
+    traffic besides the epoch-end metric fetch. This is the TPU-idiomatic
+    replacement for the reference's per-step DataLoader feeding
+    (`helpers/loader.py:55-62`): the host link (a ~50 MB/s relay here)
+    disappears from the steady-state path. Built via `Trainer.cache_data`."""
+
+    def __init__(self, images, labels, batch_size: int):
+        self.images = images              # device, (N,H,W,3) uint8
+        self.labels = labels              # device, (N,) int32
+        self.batch_size = batch_size
+        self.steps = int(images.shape[0]) // batch_size  # drop_last
+
+    def __call__(self, epoch: int) -> "DeviceCache":
+        """Usable directly as a `*_batches_fn` for `Trainer.fit`."""
+        return self
 
 
 def _count_correct(logits: jnp.ndarray, labels: jnp.ndarray,
@@ -112,6 +133,10 @@ class Trainer:
             return (x01 - mean) / std
 
         def train_step(state: TrainState, batch, rng):
+            # derive the per-step key inside the jit (rng is a per-epoch key;
+            # folding in the step count avoids a host-side split dispatch —
+            # and a relay round trip — every batch)
+            rng = jax.random.fold_in(rng, state.step)
             imgs = augment_batch(rng, batch["image"], aug_cfg)
             x = normalize(imgs)
             mutable = ["batch_stats"] + (["schedule"] if state.schedule else [])
@@ -122,7 +147,9 @@ class Trainer:
                     variables["schedule"] = state.schedule
                 logits, mut = model.apply(variables, x, train=True,
                                           mutable=mutable)
-                return loss_fn(logits, batch["label"]), (logits, mut)
+                # mask pad rows out of the loss too (public fit() may feed
+                # drop_last=False iterators; metrics already honor the mask)
+                return loss_fn(logits, batch["label"], batch["mask"]), (logits, mut)
 
             (loss, (logits, mut)), grads = jax.value_and_grad(
                 loss_of, has_aux=True)(state.params)
@@ -155,10 +182,90 @@ class Trainer:
         # Shardings come from committed inputs: the batch is device_put onto
         # P('data'); state params onto the tensor-parallel rules (replicated
         # when mesh model=1). XLA propagates layouts and inserts collectives.
+        def acc_step(acc, m):
+            cnt = m["count"].astype(jnp.float32)
+            return {"loss_sum": acc["loss_sum"] + m["loss"] * cnt,
+                    "correct": acc["correct"] + m["correct"].astype(jnp.float32),
+                    "count": acc["count"] + cnt}
+
         self.train_step = jax.jit(train_step, donate_argnums=0)
         self.eval_step = jax.jit(eval_step)
+        # running metrics stay on device; fetched once per epoch (per-step
+        # device_get serializes host and device through the relay)
+        self._acc_step = jax.jit(acc_step, donate_argnums=0)
+        self._train_step_fn = train_step    # unjitted, for the epoch scan
+        self._eval_step_fn = eval_step
+        self._acc_fn = acc_step
+        self._epoch_fns = {}
         self._batch_sharding = {"image": self._data, "label": self._data,
                                 "mask": self._data}
+
+    def _zero_acc(self):
+        return jax.device_put({"loss_sum": jnp.zeros((), jnp.float32),
+                               "correct": jnp.zeros((), jnp.float32),
+                               "count": jnp.zeros((), jnp.float32)}, self._rep)
+
+    # --- device-cached epochs (whole dataset in HBM) ---------------------
+    def cache_data(self, images_u8, labels, batch_size: int) -> DeviceCache:
+        """Upload a whole dataset to device memory (uint8, batch-sharded
+        over the 'data' axis) for scanned epochs. ~150 KB per 224² crop —
+        v5e-1 holds ~10⁵ crops comfortably."""
+        n = (images_u8.shape[0] // batch_size) * batch_size
+        images = jax.device_put(np.ascontiguousarray(images_u8[:n]), self._data)
+        labels = jax.device_put(
+            np.asarray(labels[:n], np.int32), self._data)
+        return DeviceCache(images, labels, batch_size)
+
+    def _cached_epoch(self, cache: DeviceCache, train: bool):
+        key = (id(cache.images), cache.batch_size, train)
+        if key in self._epoch_fns:
+            return self._epoch_fns[key]
+        step_fn = self._train_step_fn if train else self._eval_step_fn
+        acc_fn, bs = self._acc_fn, cache.batch_size
+        sharding = self._batch_sharding
+
+        def epoch(state, images, labels, rng, acc0):
+            n = images.shape[0]
+            perm = (jax.random.permutation(rng, n) if train
+                    else jnp.arange(n))
+
+            def body(carry, i):
+                state, acc = carry
+                idx = jax.lax.dynamic_slice_in_dim(perm, i * bs, bs)
+                batch = {"image": jnp.take(images, idx, axis=0),
+                         "label": jnp.take(labels, idx, axis=0),
+                         "mask": jnp.ones((bs,), jnp.float32)}
+                batch = jax.lax.with_sharding_constraint(batch, sharding)
+                if train:
+                    state, m = step_fn(state, batch, rng)
+                else:
+                    m = step_fn(state, batch)
+                return (state, acc_fn(acc, m)), m["loss"]
+
+            (state, acc), losses = jax.lax.scan(
+                body, (state, acc0), jnp.arange(cache.steps))
+            return state, acc, losses
+
+        fn = jax.jit(epoch, donate_argnums=(0, 4))
+        self._epoch_fns[key] = fn
+        return fn
+
+    def _run_epoch_cached(self, state, cache: DeviceCache, rng, train: bool):
+        if train:
+            rng, sub = jax.random.split(rng)
+        else:
+            sub = jax.random.key(0)
+        state, acc, losses = self._cached_epoch(cache, train)(
+            state, cache.images, cache.labels, sub, self._zero_acc())
+        a = jax.device_get(acc)
+        if train and self.cfg.train.log_every:
+            ls = np.asarray(losses)
+            for nb in range(self.cfg.train.log_every - 1, len(ls),
+                            self.cfg.train.log_every):
+                print(f"  batch {nb + 1}: loss {ls[nb]:.4f}")
+        denom = max(float(a["count"]), 1.0)
+        return state, rng, {"loss": float(a["loss_sum"]) / denom,
+                            "acc": float(a["correct"]) / denom}
 
     def shard_state(self, state: TrainState) -> TrainState:
         """Place the state on the mesh: params (and matching Adam moments)
@@ -179,24 +286,51 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _run_epoch(self, state, batches, rng, train: bool):
-        tot_loss, tot_correct, tot_count, nb = 0.0, 0.0, 0.0, 0
-        for batch in batches:
-            batch = self.put_batch(batch)
-            if train:
-                rng, sub = jax.random.split(rng)
-                state, m = self.train_step(state, batch, sub)
-            else:
-                m = self.eval_step(state, batch)
-            m = jax.device_get(m)
-            bs = float(m["count"])
-            tot_loss += float(m["loss"]) * max(bs, 1.0)
-            tot_correct += float(m["correct"])
-            tot_count += bs
-            nb += 1
-            if train and self.cfg.train.log_every and nb % self.cfg.train.log_every == 0:
-                print(f"  batch {nb}: loss {float(m['loss']):.4f}")
-        denom = max(tot_count, 1.0)
-        return state, rng, {"loss": tot_loss / denom, "acc": tot_correct / denom}
+        """One pass over `batches`, asynchronously:
+
+          * uploads are double-buffered — a worker thread device_puts batch
+            i+1 while step i runs (the reference overlaps via DataLoader
+            workers, `helpers/loader.py:55-62`; here the host↔device link is
+            the bottleneck, ~20 MB/s through the relay);
+          * steps are dispatched without any host sync — metrics accumulate
+            as device scalars and are fetched once at epoch end (or at
+            log_every, the only deliberate sync point).
+        """
+        if isinstance(batches, DeviceCache):
+            return self._run_epoch_cached(state, batches, rng, train)
+
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        acc = self._zero_acc()
+        if train:
+            rng, sub = jax.random.split(rng)  # per-epoch key; steps fold in
+        nb = 0
+        it = iter(batches)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            futs = deque()
+            for _ in range(2):  # pipeline depth 2 (double buffering)
+                b = next(it, None)
+                if b is not None:
+                    futs.append(pool.submit(self.put_batch, b))
+            while futs:
+                batch = futs.popleft().result()
+                b = next(it, None)
+                if b is not None:
+                    futs.append(pool.submit(self.put_batch, b))
+                if train:
+                    state, m = self.train_step(state, batch, sub)
+                else:
+                    m = self.eval_step(state, batch)
+                acc = self._acc_step(acc, m)
+                nb += 1
+                if train and self.cfg.train.log_every \
+                        and nb % self.cfg.train.log_every == 0:
+                    print(f"  batch {nb}: loss {float(m['loss']):.4f}")
+        a = jax.device_get(acc)
+        denom = max(float(a["count"]), 1.0)
+        return state, rng, {"loss": float(a["loss_sum"]) / denom,
+                            "acc": float(a["correct"]) / denom}
 
     def fit(self, train_batches_fn: Callable[[int], Iterator],
             val_batches_fn: Optional[Callable[[int], Iterator]] = None,
@@ -254,6 +388,10 @@ class Trainer:
                 best = {"acc": va["acc"],
                         "params": jax.device_get(state.params),
                         "batch_stats": jax.device_get(state.batch_stats)}
+                # persist it: the reference saves the best checkpoint to disk
+                if cfg.checkpoint_dir and jax.process_index() == 0:
+                    from fac_fake_tpu.train.checkpoint import save_best
+                    save_best(cfg.checkpoint_dir, state)
 
             if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0 \
                     and cfg.checkpoint_dir and jax.process_index() == 0:

@@ -132,6 +132,129 @@ def test_augment_batch_shapes():
     assert not np.allclose(np.asarray(out), np.asarray(out2))
 
 
+def test_augment_param_coin_independence():
+    """Brightness shifts must cover BOTH signs among *applied* samples: a
+    PRNG key shared between the parameter draw and its apply-coin makes the
+    coin<p region map to the lower half of the range (the op could only
+    darken)."""
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.core.config import AugmentConfig
+    from fac_fake_tpu.data.augment import augment_image
+
+    cfg = AugmentConfig(enabled=True, prob=0.5, rot90=False, transpose=False,
+                        hflip=False, vflip=False, gauss_noise=False,
+                        sharpen=False, emboss=False, brightness_contrast=True,
+                        hue_saturation=False, color_jitter=False,
+                        rotation_deg=0)
+    img = jnp.full((8, 8, 3), 0.5, jnp.float32)  # contrast term vanishes
+    fn = jax.jit(lambda k: augment_image(k, img, cfg).mean())
+    means = np.array([float(fn(jax.random.key(i))) for i in range(200)])
+    applied = means[np.abs(means - 0.5) > 1e-4]
+    assert len(applied) > 30  # coin fires ~half the time
+    assert (applied > 0.5).any() and (applied < 0.5).any()
+
+
+def test_best_checkpoint_persisted(tmp_path):
+    """fit() writes the best-val-acc snapshot to disk when checkpoint_dir is
+    set (the reference saves its best model; memory-only loses it on crash)."""
+    import jax
+    from fac_fake_tpu.train.checkpoint import restore_best
+    from fac_fake_tpu.train.trainer import Trainer
+
+    cfg = _small_cfg(epochs=2)
+    cfg.train.checkpoint_dir = str(tmp_path / "ck")
+    trainer = Trainer(_tiny_model(), cfg, input_shape=(1, 32, 32, 3))
+    batches = synthetic_batches(4, 16, image_size=32)
+    out = trainer.fit(lambda e: iter(batches))
+    assert (tmp_path / "ck" / "best").exists()
+    restored = restore_best(cfg.train.checkpoint_dir, out["state"])
+    assert jax.tree.structure(restored.params) == \
+        jax.tree.structure(out["state"].params)
+
+
+def test_padded_batch_rows_do_not_leak_into_loss():
+    """train_step must mask pad rows out of the loss: a padded batch (zero
+    images, label 0, mask 0) yields identical grads to the unpadded batch."""
+    import jax
+    from fac_fake_tpu.models.cvit import CViT
+    from fac_fake_tpu.train.trainer import Trainer
+
+    # BN-free stem: batch statistics would otherwise couple rows and mask
+    # the thing under test (per-row loss masking)
+    spec = ()
+    for _ in range(5):
+        spec += (("conv", 8), ("relu",), ("pool",))
+    model = CViT(stem_spec=spec, patch_size=1, dim=32, depth=1, heads=2,
+                 mlp_dim=32, pos_mode="patch")
+    cfg = _small_cfg(epochs=1)
+    trainer = Trainer(model, cfg, input_shape=(1, 32, 32, 3))
+    state = trainer.shard_state(trainer.init_state())
+    rng = jax.random.key(0)
+
+    full = synthetic_batches(1, 16, image_size=32)[0]
+    padded = {
+        "image": np.concatenate([full["image"][:8],
+                                 np.zeros_like(full["image"][:8])]),
+        "label": np.concatenate([full["label"][:8],
+                                 np.zeros(8, full["label"].dtype)]),
+        "mask": np.concatenate([np.ones(8, np.float32),
+                                np.zeros(8, np.float32)]),
+    }
+    half = {k: v[:8] for k, v in full.items()}
+    half = {"image": np.concatenate([half["image"]] * 2),
+            "label": np.concatenate([half["label"]] * 2),
+            "mask": np.ones(16, np.float32)}
+    # loss over 8 real rows == loss over the same 8 rows duplicated
+    state2 = trainer.shard_state(trainer.init_state())
+    _, m_pad = trainer.train_step(state, trainer.put_batch(padded), rng)
+    _, m_dup = trainer.train_step(state2, trainer.put_batch(half), rng)
+    assert abs(float(m_pad["loss"]) - float(m_dup["loss"])) < 1e-5
+
+
+def test_device_cached_training_learns():
+    """Whole-dataset-in-HBM mode: epochs run as one lax.scan jit; training
+    must still learn and report sane metrics."""
+    from fac_fake_tpu.train.trainer import DeviceCache, Trainer
+
+    cfg = _small_cfg(epochs=6)
+    cfg.train.optim.lr = 3e-3
+    trainer = Trainer(_tiny_model(), cfg, input_shape=(1, 32, 32, 3))
+
+    batches = synthetic_batches(8, 16, image_size=32)
+    images = np.concatenate([b["image"] for b in batches])
+    labels = np.concatenate([b["label"] for b in batches])
+    cache = trainer.cache_data(images, labels, batch_size=16)
+    assert isinstance(cache, DeviceCache) and cache.steps == 8
+
+    val = synthetic_batches(2, 16, image_size=32, seed=99)
+    out = trainer.fit(cache, lambda e: iter(val))
+    h = out["history"]
+    assert h["train_loss"][-1] < h["train_loss"][0]
+    assert h["val_acc"][-1] > 0.9
+
+
+def test_device_cached_eval_matches_streamed():
+    """The scanned eval epoch computes exactly the streamed epoch's
+    loss/acc (same batching, no shuffle, no augs)."""
+    from fac_fake_tpu.train.trainer import Trainer
+
+    cfg = _small_cfg(epochs=1)
+    trainer = Trainer(_tiny_model(), cfg, input_shape=(1, 32, 32, 3))
+    state = trainer.shard_state(trainer.init_state())
+
+    batches = synthetic_batches(4, 16, image_size=32)
+    images = np.concatenate([b["image"] for b in batches])
+    labels = np.concatenate([b["label"] for b in batches])
+    cache = trainer.cache_data(images, labels, batch_size=16)
+
+    _, _, streamed = trainer._run_epoch(state, iter(batches), None,
+                                        train=False)
+    _, _, cached = trainer._run_epoch(state, cache, None, train=False)
+    assert abs(streamed["loss"] - cached["loss"]) < 1e-5
+    assert abs(streamed["acc"] - cached["acc"]) < 1e-6
+
+
 def test_batch_affine_matmul_approximates_gather_warp():
     """The shear-matmul affine (TPU-friendly, 3-pass) must track the classic
     map_coordinates inverse warp. The composed coordinate map is exactly
