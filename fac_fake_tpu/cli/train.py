@@ -49,6 +49,12 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
+    # multi-host: must run before any other JAX call so jax.devices() is
+    # global (replaces init_process_group, `S3D-train-GPUs.py:199-214`)
+    from fac_fake_tpu.parallel.distributed import (initialize_from_env,
+                                                   local_batch_size)
+    initialize_from_env()
+
     from fac_fake_tpu.core.config import Config, apply_dotted, load_yaml
     from fac_fake_tpu.models import build_model
     from fac_fake_tpu.train.trainer import Trainer
@@ -101,8 +107,15 @@ def main(argv=None):
                 cfg.train.rebalance_real / max(cfg.train.rebalance_fake, 1e-8)
         t = cfg.data.frames_per_video
         input_shape = (1, t, cfg.model.image_size, cfg.model.image_size, 3)
-        train_fn = lambda e: ds.batches(cfg.data.batch_size, epoch=e,
-                                        num_workers=cfg.data.num_workers)
+        # per-host slice of the global batch (multi-host: each process loads
+        # a deterministic stride of the sample list and 1/P of each batch)
+        import jax
+        bs = local_batch_size(cfg.data.batch_size)
+        proc = dict(process_index=jax.process_index(),
+                    process_count=jax.process_count())
+        train_fn = lambda e: ds.batches(bs, epoch=e,
+                                        num_workers=cfg.data.num_workers,
+                                        **proc)
         val_fn = None
         if val_samples:
             # validation keeps masking off (eval uses clean frames,
@@ -110,19 +123,23 @@ def main(argv=None):
             val_ds = ClipDataset(val_samples, **{**ds_kw,
                                                  "mask_method": "none"})
             val_fn = lambda e: val_ds.batches(
-                cfg.data.batch_size, shuffle=False, drop_last=False,
-                num_workers=cfg.data.num_workers)
+                bs, shuffle=False, drop_last=False,
+                num_workers=cfg.data.num_workers, **proc)
     else:
         from fac_fake_tpu.data.folder import build_session
+        import jax
         session = build_session(args.data_root, cfg.data.batch_size,
                                 cfg.model.image_size)
         input_shape = (1, cfg.model.image_size, cfg.model.image_size, 3)
+        bs = local_batch_size(cfg.data.batch_size)
+        proc = dict(process_index=jax.process_index(),
+                    process_count=jax.process_count())
         train_fn = lambda e: session["train"].batches(
-            cfg.data.batch_size, epoch=e, seed=cfg.data.shuffle_seed,
-            num_workers=cfg.data.num_workers)
+            bs, epoch=e, seed=cfg.data.shuffle_seed,
+            num_workers=cfg.data.num_workers, **proc)
         val_fn = lambda e: session["validation"].batches(
-            cfg.data.batch_size, shuffle=False, drop_last=False,
-            num_workers=cfg.data.num_workers)
+            bs, shuffle=False, drop_last=False,
+            num_workers=cfg.data.num_workers, **proc)
 
     trainer = Trainer(model, cfg, loss_kwargs=loss_kwargs,
                       input_shape=input_shape)

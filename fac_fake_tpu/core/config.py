@@ -143,6 +143,13 @@ class AugmentConfig:
     color_jitter: bool = True
     rotation_deg: float = 17.0
     to_gray: bool = False
+    clahe: bool = True             # strong_aug CLAHE(clip_limit=2) (`helpers/augmentation.py:20`)
+    clahe_clip_limit: float = 2.0
+    # S3D train transform: ImageCompression(quality_lower=60, quality_upper=100,
+    # p=0.2) (`S3D/deepfakes_dataset.py:34`) — on-device block-DCT JPEG
+    image_compression: bool = False
+    compression_quality: Tuple[int, int] = (60, 100)
+    compression_prob: float = 0.2
 
 
 @dataclass
@@ -216,6 +223,9 @@ class InferConfig:
     parity_chunking: bool = True
     batch_crops: int = 96          # padded crop capacity per video (3 × 32)
     no_face_score: float = 0.5
+    # fused Pallas uint8→normalized-f32 pass instead of plain XLA ops
+    # (ops/preprocess.py; bench.py measures the delta — TPU only)
+    use_pallas_normalize: bool = False
 
 
 @dataclass

@@ -53,6 +53,17 @@ def load_plan(path: str, cfg: Optional[Config] = None) -> Config:
     cfg.data.picture_color = str(t.get("picture-color", "rgb")).strip("'\"")
     cfg.data.augment.enabled = str(t.get("aug", "no")).lower() in ("yes", "true")
     cfg.data.augment.to_gray = cfg.data.picture_color == "gray"
+    # the S3D train transform (`deepfakes_dataset.py:32-48`) differs from
+    # strong_aug: ImageCompression(60-100, p=.2) + hflip + brightness/HSV +
+    # gauss noise + SSR(rot 5°) — no CLAHE/rot90/transpose/vflip/sharpen/emboss
+    cfg.data.augment.image_compression = True
+    cfg.data.augment.clahe = False
+    cfg.data.augment.rot90 = False
+    cfg.data.augment.transpose = False
+    cfg.data.augment.vflip = False
+    cfg.data.augment.sharpen = False
+    cfg.data.augment.emboss = False
+    cfg.data.augment.rotation_deg = 5.0
 
     # rebalancing: pos_weight = real / fake (S3D-train.py:264-273)
     cfg.train.rebalance_pos_weight = True

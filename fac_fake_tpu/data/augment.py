@@ -9,7 +9,12 @@ pipeline that runs on the TPU *inside the train step*: augmentation rides the
 MXU/VPU instead of stalling host workers, and batches stay uint8 on the wire.
 
 Known approximations (randomized training augs, not bit-parity surfaces):
-CLAHE is omitted; ImageCompression (S3D) is host-side via cv2 when enabled.
+CLAHE (`helpers/augmentation.py:20`, clip_limit=2, 8×8 tiles) equalizes the
+YCbCr luma channel instead of LAB-L; ImageCompression
+(`S3D/deepfakes_dataset.py:34`, quality 60–100) is a real 8×8 block-DCT
+JPEG quantization with 4:2:0 chroma subsampling, expressed as matmuls so it
+rides the MXU (no cv2 round trip). The p=1 *eval* degradation keeps the
+bit-exact cv2 path (`evaluate/s3d_eval.py`).
 
 All ops take/return float32 images in [0,1], HWC.
 """
@@ -119,6 +124,157 @@ def _conv3x3(img, kernel):
     return out[0]
 
 
+# --- CLAHE ------------------------------------------------------------------
+
+def _rgb_to_ycbcr(img):
+    """[0,1] RGB → (Y, Cb, Cr) each in [0,255] (JFIF full-range)."""
+    r, g, b = img[..., 0] * 255.0, img[..., 1] * 255.0, img[..., 2] * 255.0
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return jnp.clip(jnp.stack([r, g, b], axis=-1) / 255.0, 0.0, 1.0)
+
+
+def clahe_luma(img: jnp.ndarray, clip_limit: float = 2.0,
+               grid: int = 8) -> jnp.ndarray:
+    """CLAHE on the luma channel (`albumentations.CLAHE(clip_limit=2)`,
+    8×8 tile grid — `helpers/augmentation.py:20`).
+
+    Per-tile 256-bin histograms come from a one-hot matmul (TPU-friendly;
+    no scatters), clipped at `clip_limit·tile_px/256` with single-pass
+    uniform redistribution of the excess (cv2's iterative redistribution
+    differs by <1 bin), per-tile LUT = scaled cdf, and the per-pixel lookup
+    bilinearly blends the 4 neighbouring tile LUTs (cv2 border semantics:
+    tile centers clamped at the edges). H and W must divide by `grid`.
+    """
+    h, w = img.shape[0], img.shape[1]
+    th, tw = h // grid, w // grid
+    y, cb, cr = _rgb_to_ycbcr(img)
+    bins = jnp.round(jnp.clip(y, 0.0, 255.0)).astype(jnp.int32)
+
+    # (grid² , tile_px) tile-major pixel bins
+    tiled = bins.reshape(grid, th, grid, tw).transpose(0, 2, 1, 3)
+    tiled = tiled.reshape(grid * grid, th * tw)
+    onehot = jax.nn.one_hot(tiled, 256, dtype=jnp.float32)
+    hist = onehot.sum(axis=1)                       # (G², 256)
+
+    tile_px = float(th * tw)
+    limit = jnp.maximum(jnp.floor(clip_limit * tile_px / 256.0), 1.0)
+    clipped = jnp.minimum(hist, limit)
+    excess = (hist - clipped).sum(axis=1, keepdims=True)
+    # cv2's redistribution: +excess//256 to every bin, then the residual
+    # +1 at bins 0, step, 2·step, … (step = max(256//resid, 1)) — the
+    # residual's cumsum contribution has the closed form
+    # min(b//step + 1, resid), so no loop is needed
+    batch = jnp.floor(excess / 256.0)
+    resid = excess - batch * 256.0
+    step = jnp.maximum(jnp.floor(256.0 / jnp.maximum(resid, 1.0)), 1.0)
+    b = jnp.arange(256, dtype=jnp.float32)[None, :]
+    resid_cum = jnp.where(resid > 0,
+                          jnp.minimum(jnp.floor(b / step) + 1.0, resid), 0.0)
+    cdf = jnp.cumsum(clipped, axis=1) + batch * (b + 1.0) + resid_cum
+    lut = jnp.round(cdf * (255.0 / tile_px))                # (G², 256)
+
+    # bilinear blend of the 4 neighbouring tile LUTs, evaluated at each
+    # pixel's bin: 4 gathers of H·W elements (luma only — cheap next to a
+    # full map_coordinates warp)
+    yy = (jnp.arange(h, dtype=jnp.float32) - 0.5 * th) / th
+    xx = (jnp.arange(w, dtype=jnp.float32) - 0.5 * tw) / tw
+    yy = jnp.clip(yy, 0.0, grid - 1.0)
+    xx = jnp.clip(xx, 0.0, grid - 1.0)
+    y0 = jnp.floor(yy).astype(jnp.int32)
+    x0 = jnp.floor(xx).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, grid - 1)
+    x1 = jnp.minimum(x0 + 1, grid - 1)
+    fy = (yy - y0)[:, None]
+    fx = (xx - x0)[None, :]
+
+    flat = lut.reshape(-1)                          # (G²·256,)
+
+    def look(ty, tx):
+        idx = (ty[:, None] * grid + tx[None, :]) * 256 + bins
+        return jnp.take(flat, idx)
+
+    out = (look(y0, x0) * (1 - fy) * (1 - fx) + look(y0, x1) * (1 - fy) * fx
+           + look(y1, x0) * fy * (1 - fx) + look(y1, x1) * fy * fx)
+    return _ycbcr_to_rgb(out, cb, cr)
+
+
+# --- JPEG compression (block DCT) -------------------------------------------
+
+# ITU-T T.81 Annex K base quantization tables
+_JPEG_LUMA_Q = jnp.asarray([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], jnp.float32)
+_JPEG_CHROMA_Q = jnp.asarray([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], jnp.float32)
+
+
+def _dct8():
+    x = jnp.arange(8, dtype=jnp.float32)
+    d = jnp.cos((2.0 * x[None, :] + 1.0) * x[:, None] * (jnp.pi / 16.0))
+    c = jnp.where(jnp.arange(8) == 0, jnp.sqrt(1.0 / 8.0), jnp.sqrt(2.0 / 8.0))
+    return d * c[:, None]
+
+
+def _jpeg_quality_table(base: jnp.ndarray, quality: jnp.ndarray) -> jnp.ndarray:
+    """libjpeg quality scaling (what cv2.imencode applies)."""
+    q = jnp.clip(quality, 1.0, 100.0)
+    scale = jnp.where(q < 50.0, 5000.0 / q, 200.0 - 2.0 * q)
+    return jnp.clip(jnp.floor((base * scale + 50.0) / 100.0), 1.0, 255.0)
+
+
+def _dct_quantize(plane: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """plane (H, W) in [0,255] → blockwise DCT-quantized reconstruction."""
+    h, w = plane.shape
+    d = _dct8()
+    blocks = (plane - 128.0).reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coef = jnp.einsum("ux,hwxy,vy->hwuv", d, blocks, d)
+    coef = jnp.round(coef / table) * table
+    rec = jnp.einsum("ux,hwuv,vy->hwxy", d, coef, d)
+    return (rec.transpose(0, 2, 1, 3).reshape(h, w) + 128.0)
+
+
+def jpeg_compress(img: jnp.ndarray, quality: jnp.ndarray) -> jnp.ndarray:
+    """On-device JPEG artifact simulation (8×8 block DCT quantization,
+    4:2:0 chroma subsampling) matching `albumentations.ImageCompression`
+    (`S3D/deepfakes_dataset.py:34`) without a host round trip — the whole
+    op is reshapes + four 8×8 einsums, so it fuses into the train step.
+    `quality` may be a traced scalar (sampled per image)."""
+    y, cb, cr = _rgb_to_ycbcr(img)
+    lq = _jpeg_quality_table(_JPEG_LUMA_Q, quality)
+    cq = _jpeg_quality_table(_JPEG_CHROMA_Q, quality)
+    y = _dct_quantize(y, lq)
+
+    def chroma(c):
+        h, w = c.shape
+        sub = c.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        rec = _dct_quantize(sub, cq)
+        return jnp.repeat(jnp.repeat(rec, 2, axis=0), 2, axis=1)
+
+    return _ycbcr_to_rgb(y, chroma(cb), chroma(cr))
+
+
 # --- the pipeline -------------------------------------------------------------
 
 def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.ndarray:
@@ -128,12 +284,21 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.n
     # independent, otherwise conditioning on the coin silently truncates the
     # parameter distribution (e.g. a shared key makes brightness==contrast
     # and the coin<p region maps to the lower half of the range)
-    keys = jax.random.split(key, 21)
+    keys = jax.random.split(key, 25)
     p = cfg.prob
 
     def coin(k):
         return jax.random.uniform(k) < p
 
+    if cfg.image_compression:
+        # S3D order: ImageCompression runs before the geometric/color ops
+        # (`deepfakes_dataset.py:33-48`), its own p (default 0.2)
+        q = jax.random.uniform(keys[21], (),
+                               minval=float(cfg.compression_quality[0]),
+                               maxval=float(cfg.compression_quality[1]))
+        compressed = jpeg_compress(img, jnp.floor(q))
+        take = jax.random.uniform(keys[22]) < cfg.compression_prob
+        img = jnp.where(take[None, None, None], compressed, img)
     if cfg.rot90:
         k4 = jax.random.randint(keys[0], (), 0, 4)
         img = jnp.where(coin(keys[1])[None, None, None],
@@ -154,6 +319,11 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.n
         noise = sigma * jax.random.normal(keys[6], img.shape)
         img = jnp.where(coin(keys[7])[None, None, None],
                         jnp.clip(img + noise, 0, 1), img)
+    if cfg.clahe:
+        # strong_aug CLAHE(clip_limit=2) sits between SSR and Sharpen
+        # (`helpers/augmentation.py:19-21`)
+        eq = clahe_luma(img, cfg.clahe_clip_limit)
+        img = jnp.where(coin(keys[23])[None, None, None], eq, img)
     if cfg.sharpen:
         # albumentations Sharpen: blend with a laplacian-sharpened image
         alpha = jax.random.uniform(keys[8], (), minval=0.2, maxval=0.5)

@@ -43,16 +43,29 @@ def tile_geometry(h: int, w: int) -> Tuple[int, int, List[Tuple[int, int]]]:
 
 
 def make_tiles(frames: np.ndarray, target: int = 128) -> Tuple[np.ndarray, int, np.ndarray]:
-    """(F, H, W, 3) uint8 → (F·T, 128, 128, 3) uint8 + split_size + offsets."""
+    """(F, H, W, 3) uint8 → (F·T, 128, 128, 3) uint8 + split_size + offsets.
+
+    One INTER_AREA resize per *frame* (so the `split`-sized window lands at
+    `target` px), then the T overlapping tiles are contiguous crops of the
+    downscaled frame. Per-tile resizes of large non-contiguous frame views
+    were ~10 ms each (~3 s per 384-tile batch) — ~3× the work plus internal
+    copies; tile windows shift by ≤ half a source pixel from rounding, well
+    inside the detector's tolerance (boxes stay in original frame coords)."""
     import cv2
     f, h, w, _ = frames.shape
     split, num_t, offsets = tile_geometry(h, w)
-    tiles = np.zeros((f * num_t, target, target, 3), np.uint8)
+    scale = target / split
+    rh = max(target, int(round(h * scale)))
+    rw = max(target, int(round(w * scale)))
+    tiles = np.empty((f * num_t, target, target, 3), np.uint8)
     i = 0
     for fi in range(f):
+        small = cv2.resize(frames[fi], (rw, rh),
+                           interpolation=cv2.INTER_AREA)
         for (y, x) in offsets:
-            crop = frames[fi, y:y + split, x:x + split]
-            tiles[i] = cv2.resize(crop, (target, target), interpolation=cv2.INTER_AREA)
+            ys = min(int(round(y * scale)), rh - target)
+            xs = min(int(round(x * scale)), rw - target)
+            tiles[i] = small[ys:ys + target, xs:xs + target]
             i += 1
     return tiles, split, np.asarray(offsets, np.float32)
 
@@ -112,14 +125,27 @@ class FaceExtractor:
         frames, idxs = result
         return self.process_frames(frames, idxs)
 
-    FRAME_BUCKET = 8  # pad frame count → a handful of compiled shapes
+    # pad the frame axis to one of these so the detection graph (including
+    # the vmapped-NMS `_frame_detections`, whose scan is expensive to
+    # compile through the remote compiler) sees only a handful of shapes.
+    # A plain multiple-of-8 round-up recompiled on nearly every video
+    # (~10-90 s each cold): the frame bucket must be as coarse as the
+    # detector's BATCH_BUCKETS.
+    FRAME_BUCKETS = (8, 16, 32, 64, 128)
+
+    @staticmethod
+    def _frame_bucket(f: int) -> int:
+        for b in FaceExtractor.FRAME_BUCKETS:
+            if f <= b:
+                return b
+        return -(-f // 128) * 128
 
     def process_frames(self, frames: np.ndarray, idxs=None):
         """Returns the reference's list-of-frame-dict structure
         (video_idx omitted): frame_idx, frame_w/h, faces, scores."""
         f, h, w, _ = frames.shape
         idxs = list(range(f)) if idxs is None else idxs
-        fpad = -(-f // self.FRAME_BUCKET) * self.FRAME_BUCKET
+        fpad = self._frame_bucket(f)
         if fpad != f:
             frames_in = np.concatenate(
                 [frames, np.zeros((fpad - f, h, w, 3), frames.dtype)], axis=0)

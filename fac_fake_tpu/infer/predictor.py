@@ -57,12 +57,10 @@ class VideoScorer:
         self.capacity = self.cfg.infer.batch_crops
         legacy = getattr(model, "pos_mode", "legacy") == "legacy"
 
-        mean = jnp.asarray(IMAGENET_MEAN)
-        std = jnp.asarray(IMAGENET_STD)
-
         def score_fn(v, crops_u8, count):
-            x = crops_u8.astype(jnp.float32) / 255.0
-            x = (x - mean) / std
+            from fac_fake_tpu.ops.preprocess import normalize_imagenet
+            x = normalize_imagenet(
+                crops_u8, use_pallas=self.cfg.infer.use_pallas_normalize)
             if legacy:
                 pos_idx = jnp.arange(self.capacity) % CHUNK
                 logits = model.apply(v, x, train=False, pos_indices=pos_idx)
@@ -156,7 +154,12 @@ class VideoScorer:
                 "p90_s": lats[int(len(lats) * 0.9)],
                 "count": len(lats)}
 
-    def score_videos(self, paths: Sequence[str], num_workers: int = 1) -> List[float]:
+    def score_videos(self, paths: Sequence[str], num_workers: int = 4) -> List[float]:
+        """Per-video scoring with host decode/detect overlapped across videos
+        by a thread pool (the reference's ThreadPoolExecutor ran with
+        workers=1 because its torch path wasn't thread-safe,
+        `cvit_prediction.py:302-303`; ours is — JAX dispatch is thread-safe
+        and the model is pure)."""
         with ThreadPoolExecutor(max_workers=num_workers) as ex:
             return list(ex.map(self.score_video, paths))
 
@@ -172,14 +175,14 @@ class VideoScorer:
 
         model, slot = self.model, self.VIDEO_SLOT
         legacy = getattr(model, "pos_mode", "legacy") == "legacy"
-        mean = jnp.asarray(IMAGENET_MEAN)
-        std = jnp.asarray(IMAGENET_STD)
 
         def fn(v, crops_u8, counts):
+            from fac_fake_tpu.ops.preprocess import normalize_imagenet
             # crops (V, slot, H, W, 3); counts (V,)
             vv = crops_u8.shape[0]
-            x = crops_u8.reshape(vv * slot, *crops_u8.shape[2:])
-            x = (x.astype(jnp.float32) / 255.0 - mean) / std
+            x = normalize_imagenet(
+                crops_u8.reshape(vv * slot, *crops_u8.shape[2:]),
+                use_pallas=self.cfg.infer.use_pallas_normalize)
             kw = {}
             if legacy:
                 # row-within-slot == the reference's single-chunk pos rows
@@ -191,36 +194,57 @@ class VideoScorer:
         self._batched_cache[v_cap] = jfn
         return jfn
 
+    def _score_packed(self, chunk, results):
+        """Score a list of (video_index, crops) through one batched forward."""
+        slot = self.VIDEO_SLOT
+        v_cap = next((b for b in self.VIDEO_BUCKETS if len(chunk) <= b),
+                     self.VIDEO_BUCKETS[-1])
+        packed = np.zeros((v_cap, slot, *chunk[0][1].shape[1:]), np.uint8)
+        counts = np.zeros((v_cap,), np.int32)
+        for k, (_, crops) in enumerate(chunk):
+            n = min(crops.shape[0], slot)
+            packed[k, :n] = crops[:n]
+            counts[k] = n
+        probs = np.asarray(self._batched_fn(v_cap)(
+            self.variables, jnp.asarray(packed), jnp.asarray(counts)))
+        for k, (i, _) in enumerate(chunk):
+            results[i] = float(probs[k])
+
     def score_videos_batched(self, paths: Sequence[str],
                              num_workers: int = 4) -> List[float]:
         """Batch crops of MANY videos into one forward (the SURVEY §5.7
         'throughput from batching across frames and videos' design): V-video
         slots of 32 rows each, vmapped aggregation — scores are identical to
-        per-video scoring."""
-        with ThreadPoolExecutor(max_workers=num_workers) as ex:
-            crops_list = list(ex.map(self.gather_crops, paths))
+        per-video scoring.
+
+        Pipelined: gathers (host decode + device detect) run on a thread
+        pool and a full bucket of videos is scored as soon as it's ready,
+        instead of waiting for every gather to finish. Per-video wall-clock
+        (submit → score available) feeds `latency_stats`."""
+        import time
+        from concurrent.futures import as_completed
 
         results: List[float] = [self.cfg.infer.no_face_score] * len(paths)
-        todo = [(i, c) for i, c in enumerate(crops_list) if c.shape[0] > 0]
-        slot = self.VIDEO_SLOT
-        pos = 0
-        while pos < len(todo):
-            remaining = len(todo) - pos
-            v_cap = next((b for b in self.VIDEO_BUCKETS if remaining <= b),
-                         self.VIDEO_BUCKETS[-1])
-            chunk = todo[pos:pos + v_cap]
-            packed = np.zeros((v_cap, slot, *chunk[0][1].shape[1:]), np.uint8)
-            counts = np.zeros((v_cap,), np.int32)
-            for k, (_, crops) in enumerate(chunk):
-                n = min(crops.shape[0], slot)
-                packed[k, :n] = crops[:n]
-                counts[k] = n
-            probs = self._batched_fn(v_cap)(
-                self.variables, jnp.asarray(packed), jnp.asarray(counts))
-            probs = np.asarray(probs)
-            for k, (i, _) in enumerate(chunk):
-                results[i] = float(probs[k])
-            pos += len(chunk)
+        lat = self.video_latencies = getattr(self, "video_latencies", [])
+        t0 = time.perf_counter()
+        pending: List[tuple] = []
+        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+            futs = {ex.submit(self.gather_crops, p): i
+                    for i, p in enumerate(paths)}
+            for fut in as_completed(futs):
+                i = futs[fut]
+                crops = fut.result()
+                if crops.shape[0] == 0:
+                    lat.append(time.perf_counter() - t0)
+                    continue
+                pending.append((i, crops))
+                if len(pending) >= self.VIDEO_BUCKETS[-1]:
+                    self._score_packed(pending, results)
+                    lat.extend([time.perf_counter() - t0] * len(pending))
+                    pending = []
+        if pending:
+            self._score_packed(pending, results)
+            lat.extend([time.perf_counter() - t0] * len(pending))
         return results
 
     def predict_to_csv(self, video_dir: str, save_csv: str,

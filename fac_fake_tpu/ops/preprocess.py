@@ -68,7 +68,7 @@ def normalize_imagenet(crops_u8: jnp.ndarray, use_pallas: bool = False,
                        interpret: bool = False) -> jnp.ndarray:
     """Dispatch: Pallas on TPU when shapes tile cleanly, else fused XLA."""
     b, h, w, c = crops_u8.shape
-    if use_pallas and h % _ROW_TILE == 0:
+    if use_pallas and h % _ROW_TILE == 0 and jax.default_backend() != "cpu":
         return pallas_normalize(crops_u8, interpret=interpret)
     x = crops_u8.astype(jnp.float32) / 255.0
     return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)

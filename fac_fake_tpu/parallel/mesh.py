@@ -11,8 +11,8 @@ all_reduce (`S3D-train-GPUs.py:196-214,262-268,330-331,394-398`; SURVEY.md
     (sharded) batch, XLA emits the cross-replica collectives;
   * tensor parallelism = the 'model' axis, used by param-sharding rules for
     the large Dense kernels (left at size 1 for pure DP);
-  * DistributedSampler = per-host slicing in the data loader
-    (`shard_batch` below) — deterministic, no rendezvous.
+  * DistributedSampler = per-host stride slicing inside the data loaders
+    (see note at the bottom) — deterministic, no rendezvous.
 """
 from __future__ import annotations
 
@@ -65,12 +65,9 @@ def param_sharding_rules(mesh: Mesh, params, min_size: int = 1 << 20) -> object:
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
-def shard_batch(batch: np.ndarray, process_index: Optional[int] = None,
-                process_count: Optional[int] = None) -> np.ndarray:
-    """Per-host batch slice (the DistributedSampler equivalent)."""
-    pi = jax.process_index() if process_index is None else process_index
-    pc = jax.process_count() if process_count is None else process_count
-    if pc == 1:
-        return batch
-    per = batch.shape[0] // pc
-    return batch[pi * per:(pi + 1) * per]
+# NOTE: the DistributedSampler equivalent lives in the loaders themselves —
+# `data/folder.py batches` / `data/clips.py batches` take a deterministic
+# process stride (`order[process_index::process_count]`) so each host only
+# *loads* its slice; `Trainer.put_batch` assembles the global array via
+# `jax.make_array_from_process_local_data`. Runtime bring-up:
+# `parallel/distributed.py initialize_from_env`.

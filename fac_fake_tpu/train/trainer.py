@@ -282,6 +282,14 @@ class Trainer:
         )
 
     def put_batch(self, batch):
+        if jax.process_count() > 1:
+            # each host holds only its slice of the global batch (sharded
+            # loading, `data/folder.py batches` process stride); assemble the
+            # global array from per-process shards — the DistributedSampler +
+            # DDP-input contract, without either
+            return {k: jax.make_array_from_process_local_data(
+                        self._batch_sharding[k], np.asarray(v))
+                    for k, v in batch.items()}
         return jax.device_put(batch, self._batch_sharding)
 
     # ------------------------------------------------------------------

@@ -1,0 +1,127 @@
+"""On-device CLAHE and JPEG-compression augs vs their cv2 ground truths.
+
+These are randomized *training* augmentations, not bit-parity surfaces
+(SURVEY.md §8): the tests pin the math — CLAHE against cv2.createCLAHE on
+the same channel, the block-DCT JPEG against cv2.imencode at the same
+quality — with tolerances that fail if the op drifts from "the same
+transform" to "a different transform".
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _face_like(rng, low_contrast=False):
+    """A smooth synthetic image (blocky gradients + blobs), uint8 RGB."""
+    yy, xx = np.mgrid[0:224, 0:224].astype(np.float32) / 224.0
+    base = 0.3 + 0.4 * yy + 0.2 * np.sin(xx * 9.0)
+    img = np.stack([base, base * 0.9 + 0.05, base * 0.8 + 0.1], -1)
+    img += rng.normal(0, 0.02, img.shape)
+    if low_contrast:
+        img = 0.45 + (img - img.mean()) * 0.2
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+# --- CLAHE -------------------------------------------------------------------
+
+def test_clahe_matches_cv2_on_luma():
+    import cv2
+    from fac_fake_tpu.data.augment import clahe_luma, _rgb_to_ycbcr
+
+    rng = np.random.default_rng(0)
+    img_u8 = _face_like(rng, low_contrast=True)
+    img = jnp.asarray(img_u8.astype(np.float32) / 255.0)
+
+    ours = np.asarray(clahe_luma(img, clip_limit=2.0))
+    y_ours = np.asarray(_rgb_to_ycbcr(jnp.asarray(ours))[0])
+
+    y_ref, _, _ = (np.asarray(v) for v in _rgb_to_ycbcr(img))
+    clahe = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+    y_cv = clahe.apply(np.round(np.clip(y_ref, 0, 255)).astype(np.uint8))
+
+    # same transform up to interpolation details: tight mean error, and the
+    # equalization actually happened (contrast up on a low-contrast input)
+    err = np.abs(y_ours - y_cv.astype(np.float32))
+    assert float(err.mean()) < 3.0, float(err.mean())
+    # clip_limit=2 bounds the gain; still must visibly raise contrast
+    assert y_ours.std() > 1.15 * y_ref.std()
+
+
+def test_clahe_identity_regions_unchanged_chroma():
+    from fac_fake_tpu.data.augment import clahe_luma, _rgb_to_ycbcr
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(_face_like(rng).astype(np.float32) / 255.0)
+    out = clahe_luma(img)
+    _, cb0, cr0 = _rgb_to_ycbcr(img)
+    _, cb1, cr1 = _rgb_to_ycbcr(out)
+    # luma-only op: chroma survives the round trip (up to RGB clipping)
+    assert float(jnp.abs(cb1 - cb0).mean()) < 2.5
+    assert float(jnp.abs(cr1 - cr0).mean()) < 2.5
+
+
+# --- JPEG --------------------------------------------------------------------
+
+def test_dct_roundtrip_identity_without_quantization():
+    from fac_fake_tpu.data.augment import _dct_quantize
+    rng = np.random.default_rng(2)
+    plane = jnp.asarray(rng.uniform(0, 255, (32, 32)).astype(np.float32))
+    out = _dct_quantize(plane, jnp.ones((8, 8), jnp.float32) * 1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(plane), atol=1e-2)
+
+
+def test_jpeg_quality_table_matches_libjpeg_formula():
+    from fac_fake_tpu.data.augment import _jpeg_quality_table, _JPEG_LUMA_Q
+    t100 = np.asarray(_jpeg_quality_table(_JPEG_LUMA_Q, jnp.float32(100.0)))
+    assert (t100 == 1.0).all()                       # q=100 → all-ones table
+    t50 = np.asarray(_jpeg_quality_table(_JPEG_LUMA_Q, jnp.float32(50.0)))
+    np.testing.assert_allclose(t50, np.asarray(_JPEG_LUMA_Q))  # q=50 → base
+
+
+@pytest.mark.parametrize("quality", [60, 90])
+def test_jpeg_compress_tracks_cv2(quality):
+    import cv2
+    from fac_fake_tpu.data.augment import jpeg_compress
+
+    rng = np.random.default_rng(3)
+    img_u8 = _face_like(rng)
+    ours = np.asarray(jpeg_compress(
+        jnp.asarray(img_u8.astype(np.float32) / 255.0), jnp.float32(quality)))
+    ours_u8 = np.round(ours * 255).astype(np.int32)
+
+    ok, enc = cv2.imencode(".jpg", cv2.cvtColor(img_u8, cv2.COLOR_RGB2BGR),
+                           [cv2.IMWRITE_JPEG_QUALITY, quality])
+    assert ok
+    ref = cv2.cvtColor(cv2.imdecode(enc, cv2.IMREAD_COLOR),
+                       cv2.COLOR_BGR2RGB).astype(np.int32)
+
+    err_ref = np.abs(ref - img_u8.astype(np.int32)).mean()
+    err_ours_vs_cv2 = np.abs(ours_u8 - ref).mean()
+    # our reconstruction stays closer to cv2's JPEG than the JPEG is to the
+    # original: same artifact, not a different op
+    assert err_ours_vs_cv2 < max(1.5 * err_ref, 2.0), \
+        (err_ours_vs_cv2, err_ref)
+
+
+def test_jpeg_degrades_monotonically_with_quality():
+    from fac_fake_tpu.data.augment import jpeg_compress
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(_face_like(rng).astype(np.float32) / 255.0)
+    errs = [float(jnp.abs(jpeg_compress(img, jnp.float32(q)) - img).mean())
+            for q in (95, 75, 40)]
+    assert errs[0] < errs[1] < errs[2], errs
+
+
+# --- pipeline integration ----------------------------------------------------
+
+def test_augment_batch_with_new_ops_jits():
+    from fac_fake_tpu.core.config import AugmentConfig
+    from fac_fake_tpu.data.augment import augment_batch
+    cfg = AugmentConfig(clahe=True, image_compression=True)
+    batch = np.random.default_rng(5).integers(
+        0, 255, (2, 224, 224, 3), dtype=np.uint8)
+    out = jax.jit(lambda k, b: augment_batch(k, b, cfg))(
+        jax.random.key(0), jnp.asarray(batch))
+    assert out.shape == batch.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
