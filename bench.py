@@ -1,14 +1,23 @@
 """Benchmark: CViT face-crop inference throughput per chip.
 
-Metric (BASELINE.json): face-crops/sec/chip, target ≥ 2000 on TPU v5e-1.
-Measures the production scoring path — uint8 crops → on-device /255 +
-ImageNet normalize → batched CViT forward (bf16 compute) with the legacy
-pos-embedding gather — with crops device-resident and timing forced by
-fetching a scalar (through the axon relay, `block_until_ready` returns at
-enqueue and uploads run ~20 MB/s, so per-step host transfers must stay off
-the timed path; see .claude/skills/verify/SKILL.md).
+Primary metric (BASELINE.json): face-crops/sec/chip, target ≥ 2000 on TPU
+v5e-1 — measured on the production scoring path (uint8 crops → on-device
+/255 + ImageNet normalize → batched CViT forward, bf16 compute, legacy
+pos-embedding gather, BN/DEConv folded) with crops device-resident and
+timing forced by fetching a scalar (through the axon relay,
+`block_until_ready` returns at enqueue and uploads run ~20 MB/s, so host
+transfers stay off the timed path; see .claude/skills/verify/SKILL.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Secondary numbers ride in the same JSON line under "secondary":
+  * flagship_crops_per_sec — the cvit_repbn8 flagship (the reference's best
+    line, `4090RepBn8_*` CSVs);
+  * pallas_normalize_crops_per_sec — same path with the fused Pallas
+    uint8→normalized pass (ops/preprocess.py) instead of plain XLA;
+  * video_p50_s / video_p90_s — warm end-to-end per-video latency over the
+    8 reference sample videos (BASELINE.md secondary metric; skipped when
+    the reference isn't mounted).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "secondary"}.
 """
 import json
 import os
@@ -25,25 +34,22 @@ BASELINE_TARGET = 2000.0  # crops/sec/chip (BASELINE.md north star)
 BATCH = 2048
 
 
-def main():
-    from fac_fake_tpu.core.config import ModelConfig
-    from fac_fake_tpu.infer.predictor import IMAGENET_MEAN, IMAGENET_STD
-    from fac_fake_tpu.models import build_model
-
-    model = build_model(ModelConfig(name="cvit", dtype="bfloat16"))
-    variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
-    # production inference reparameterization: fold BN into conv weights
+def _throughput(model_name: str, use_pallas: bool = False) -> float:
+    """crops/s for one folded bf16 model on device-resident uint8 crops."""
     from fac_fake_tpu.compat.fold import fold_cvit
+    from fac_fake_tpu.core.config import ModelConfig
+    from fac_fake_tpu.models import build_model
+    from fac_fake_tpu.ops.preprocess import normalize_imagenet
+
+    model = build_model(ModelConfig(name=model_name, dtype="bfloat16"))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
     model, variables = fold_cvit(model, variables)
     variables = jax.device_put(variables)
-
-    mean = jnp.asarray(IMAGENET_MEAN)
-    std = jnp.asarray(IMAGENET_STD)
     pos_idx = jnp.arange(BATCH) % 32
 
     @jax.jit
     def step(v, crops_u8):
-        x = (crops_u8.astype(jnp.float32) / 255.0 - mean) / std
+        x = normalize_imagenet(crops_u8, use_pallas=use_pallas)
         logits = model.apply(v, x, train=False, pos_indices=pos_idx)
         return jnp.sum(logits)  # scalar: forces execution, ~4 B download
 
@@ -51,32 +57,70 @@ def main():
     crops = jax.device_put(
         jnp.asarray(rng.integers(0, 255, (BATCH, 224, 224, 3), dtype=np.uint8)))
 
-    # warmup / compile
-    float(step(variables, crops))
-
-    # pick iteration count for ~3s of measurement
+    float(step(variables, crops))  # warmup / compile
     t0 = time.perf_counter()
     float(step(variables, crops))
     per_call = time.perf_counter() - t0
     iters = max(3, min(50, int(3.0 / max(per_call, 1e-3))))
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        s = step(variables, crops)
-    float(s)  # one sync at the end; calls pipeline on-device
-    dt = time.perf_counter() - t0
-    # conservatively re-time with per-call sync to avoid relay enqueue lies
+    # per-call sync to avoid relay enqueue lies
     t1 = time.perf_counter()
     for _ in range(iters):
         float(step(variables, crops))
     dt_sync = time.perf_counter() - t1
+    return BATCH * iters / dt_sync
 
-    crops_per_sec = BATCH * iters / dt_sync
+
+def _video_latency():
+    """Warm p50/p90 per-video latency over the reference sample videos."""
+    video_dir = "/root/reference/CViT-main/sample__prediction_data"
+    if not os.path.isdir(video_dir):
+        return {}
+    from fac_fake_tpu.core.config import Config, ModelConfig
+    from fac_fake_tpu.infer.predictor import VideoScorer
+    from fac_fake_tpu.models import build_model
+
+    cfg = Config()
+    model = build_model(ModelConfig(name="cvit", dtype="bfloat16"))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+    scorer = VideoScorer(model, variables, cfg)
+    paths = sorted(os.path.join(video_dir, f) for f in os.listdir(video_dir)
+                   if f.endswith(".mp4"))
+    if not paths:
+        return {}
+    scorer.score_videos(paths, num_workers=4)       # warmup: compiles + page cache
+    scorer.video_latencies = []
+    t0 = time.perf_counter()
+    scorer.score_videos(paths, num_workers=4)       # timed, warm
+    wall = time.perf_counter() - t0
+    stats = scorer.latency_stats()
+    return {"video_p50_s": round(stats["p50_s"], 3),
+            "video_p90_s": round(stats["p90_s"], 3),
+            "videos_per_min": round(60.0 * len(paths) / wall, 1)}
+
+
+def main():
+    crops_per_sec = _throughput("cvit")
+    secondary = {}
+    try:
+        secondary["flagship_crops_per_sec"] = round(_throughput("cvit_repbn8"), 1)
+    except Exception as e:          # never lose the primary metric
+        secondary["flagship_error"] = repr(e)[:120]
+    try:
+        secondary["pallas_normalize_crops_per_sec"] = round(
+            _throughput("cvit", use_pallas=True), 1)
+    except Exception as e:
+        secondary["pallas_error"] = repr(e)[:120]
+    try:
+        secondary.update(_video_latency())
+    except Exception as e:
+        secondary["video_error"] = repr(e)[:120]
+
     print(json.dumps({
         "metric": "face-crops/sec/chip (CViT inference)",
         "value": round(crops_per_sec, 1),
         "unit": "crops/s",
         "vs_baseline": round(crops_per_sec / BASELINE_TARGET, 3),
+        "secondary": secondary,
     }))
 
 
