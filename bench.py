@@ -87,10 +87,13 @@ def _video_latency():
                    if f.endswith(".mp4"))
     if not paths:
         return {}
-    scorer.score_videos(paths, num_workers=4)       # warmup: compiles + page cache
+    # decode is CPU-bound: more threads than cores inflates per-video
+    # latency ~linearly (measured 6× on the 1-core axon host)
+    workers = max(1, min(4, os.cpu_count() or 1))
+    scorer.score_videos(paths, workers)             # warmup: compiles + page cache
     scorer.video_latencies = []
     t0 = time.perf_counter()
-    scorer.score_videos(paths, num_workers=4)       # timed, warm
+    scorer.score_videos(paths, workers)             # timed, warm
     wall = time.perf_counter() - t0
     stats = scorer.latency_stats()
     return {"video_p50_s": round(stats["p50_s"], 3),

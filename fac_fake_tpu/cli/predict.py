@@ -24,7 +24,11 @@ def parse_args(argv=None):
     ap.add_argument("--save-csv", default="predictions.csv")
     ap.add_argument("--metadata", default=None,
                     help="metadata.json to report accuracy/AUC against")
-    ap.add_argument("--workers", type=int, default=1)
+    ap.add_argument("--workers", type=int, default=None,
+                    help="videos decoded/detected concurrently (default: "
+                         "min(4, cpu_count) — decode is CPU-bound; the "
+                         "reference pinned 1 worker only because its torch "
+                         "path wasn't thread-safe)")
     ap.add_argument("--batched", action="store_true",
                     help="pack many videos per forward (throughput mode)")
     ap.add_argument("--set", nargs="*", default=[])

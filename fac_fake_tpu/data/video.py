@@ -66,13 +66,67 @@ class VideoReader:
     optional inset cropping. Returns (frames (N,H,W,3) uint8 RGB, indices) or
     None on failure — matching the reference's error contract."""
 
-    def __init__(self, verbose: bool = False, insets: Tuple[float, float] = (0.0, 0.0)):
+    # ffmpeg's many small, seeky reads interact terribly with high-latency
+    # network mounts (here: the read-only reference mount — retrieve() was
+    # observed to randomly take 10-40 s/video vs 0.1 s from local disk, a
+    # ~100× penalty). Files at or below this size are spooled to local tmp
+    # with ONE sequential copy before opening. LRU-cached so the usual
+    # frame_count → read_frames_at_indices pair costs one copy.
+    SPOOL_MAX_BYTES = 512 << 20
+    _SPOOL_CACHE = 16
+
+    def __init__(self, verbose: bool = False, insets: Tuple[float, float] = (0.0, 0.0),
+                 spool: bool = True):
         self.verbose = verbose
         self.insets = insets
+        self.spool = spool
+        self._spooled: "dict[str, str]" = {}
+        import threading
+        self._spool_lock = threading.Lock()
+
+    def _local(self, path: str) -> str:
+        """A local filesystem path for `path` (spooled copy when enabled)."""
+        if not self.spool:
+            return path
+        import os
+        with self._spool_lock:
+            hit = self._spooled.get(path)
+        if hit is not None and os.path.exists(hit):
+            return hit
+        try:
+            if os.path.getsize(path) > self.SPOOL_MAX_BYTES:
+                return path
+            import shutil
+            import tempfile
+            fd, tmp = tempfile.mkstemp(
+                suffix=os.path.splitext(path)[1] or ".mp4",
+                prefix="fac_spool_")
+            os.close(fd)
+            shutil.copyfile(path, tmp)
+        except OSError:
+            return path
+        with self._spool_lock:
+            self._spooled[path] = tmp
+            while len(self._spooled) > self._SPOOL_CACHE:
+                oldest = next(iter(self._spooled))   # dict keeps insert order
+                old = self._spooled.pop(oldest)
+                try:
+                    os.unlink(old)
+                except OSError:
+                    pass
+        return tmp
+
+    def __del__(self):
+        import os
+        for tmp in getattr(self, "_spooled", {}).values():
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     def frame_count(self, path: str) -> int:
         import cv2
-        cap = cv2.VideoCapture(path)
+        cap = cv2.VideoCapture(self._local(path))
         n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
         cap.release()
         return n
@@ -105,7 +159,7 @@ class VideoReader:
         import cv2
         if len(frame_idxs) == 0:
             return None
-        cap = cv2.VideoCapture(path)
+        cap = cv2.VideoCapture(self._local(path))
         try:
             wanted = list(frame_idxs)
             frames, read_idxs = [], []

@@ -146,13 +146,14 @@ class FaceExtractor:
         f, h, w, _ = frames.shape
         idxs = list(range(f)) if idxs is None else idxs
         fpad = self._frame_bucket(f)
-        if fpad != f:
-            frames_in = np.concatenate(
-                [frames, np.zeros((fpad - f, h, w, 3), frames.dtype)], axis=0)
-        else:
-            frames_in = frames
-        tiles, split, offsets = make_tiles(frames_in)
+        tiles, split, offsets = make_tiles(frames)
         num_tiles = len(offsets)
+        if fpad != f:
+            # pad the frame axis at TILE granularity (128² zeros, not
+            # full-resolution zero frames — hundreds of MB on 1080p inputs)
+            tiles = np.concatenate(
+                [tiles, np.zeros(((fpad - f) * num_tiles, *tiles.shape[1:]),
+                                 tiles.dtype)], axis=0)
 
         dets, valid = self.detector.predict_on_batch(tiles, apply_nms=False)
         faces, mask = _frame_detections(

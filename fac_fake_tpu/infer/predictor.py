@@ -154,13 +154,21 @@ class VideoScorer:
                 "p90_s": lats[int(len(lats) * 0.9)],
                 "count": len(lats)}
 
-    def score_videos(self, paths: Sequence[str], num_workers: int = 4) -> List[float]:
+    @staticmethod
+    def default_workers() -> int:
+        """Decode is CPU-bound: threads beyond the core count inflate
+        per-video latency ~linearly (6× measured on a 1-core host)."""
+        return max(1, min(4, os.cpu_count() or 1))
+
+    def score_videos(self, paths: Sequence[str],
+                     num_workers: Optional[int] = None) -> List[float]:
         """Per-video scoring with host decode/detect overlapped across videos
         by a thread pool (the reference's ThreadPoolExecutor ran with
         workers=1 because its torch path wasn't thread-safe,
         `cvit_prediction.py:302-303`; ours is — JAX dispatch is thread-safe
         and the model is pure)."""
-        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        workers = num_workers or self.default_workers()
+        with ThreadPoolExecutor(max_workers=workers) as ex:
             return list(ex.map(self.score_video, paths))
 
     # --- batched multi-video scoring (production throughput path) ---------
@@ -211,7 +219,7 @@ class VideoScorer:
             results[i] = float(probs[k])
 
     def score_videos_batched(self, paths: Sequence[str],
-                             num_workers: int = 4) -> List[float]:
+                             num_workers: Optional[int] = None) -> List[float]:
         """Batch crops of MANY videos into one forward (the SURVEY §5.7
         'throughput from batching across frames and videos' design): V-video
         slots of 32 rows each, vmapped aggregation — scores are identical to
@@ -228,7 +236,8 @@ class VideoScorer:
         lat = self.video_latencies = getattr(self, "video_latencies", [])
         t0 = time.perf_counter()
         pending: List[tuple] = []
-        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        with ThreadPoolExecutor(max_workers=num_workers or
+                                self.default_workers()) as ex:
             futs = {ex.submit(self.gather_crops, p): i
                     for i, p in enumerate(paths)}
             for fut in as_completed(futs):
