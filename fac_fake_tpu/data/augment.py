@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fac_fake_tpu.core.config import AugmentConfig
 
@@ -145,25 +146,31 @@ def _ycbcr_to_rgb(y, cb, cr):
 def clahe_luma(img: jnp.ndarray, clip_limit: float = 2.0,
                grid: int = 8) -> jnp.ndarray:
     """CLAHE on the luma channel (`albumentations.CLAHE(clip_limit=2)`,
-    8×8 tile grid — `helpers/augmentation.py:20`).
+    8×8 tile grid — `helpers/augmentation.py:20`), exact cv2 LUT math.
 
-    Per-tile 256-bin histograms come from a one-hot matmul (TPU-friendly;
-    no scatters), clipped at `clip_limit·tile_px/256` with single-pass
-    uniform redistribution of the excess (cv2's iterative redistribution
-    differs by <1 bin), per-tile LUT = scaled cdf, and the per-pixel lookup
-    bilinearly blends the 4 neighbouring tile LUTs (cv2 border semantics:
-    tile centers clamped at the edges). H and W must divide by `grid`.
+    TPU formulation — no per-pixel gathers (a gather-LUT version measured
+    1.9 ms/image, ~4× a whole CViT train step):
+      * per-tile 256-bin histograms as a fused compare-reduce;
+      * clip at `clip_limit·tile_px/256` with cv2's redistribution (uniform
+        batch + the residual +1 at bins 0, step, 2·step… in closed form);
+      * application is block-structured: every pixel between four adjacent
+        tile centers blends the SAME four LUTs, so padding by half a tile
+        makes a uniform (grid+1)² block partition whose corner-tile indices
+        and bilinear weights are static — the lookup becomes a batched
+        one-hot × LUT matmul, and the blend a static weighted sum.
+    H and W must divide by `grid` and tiles must be even-sized.
     """
     h, w = img.shape[0], img.shape[1]
     th, tw = h // grid, w // grid
+    assert th % 2 == 0 and tw % 2 == 0, (h, w, grid)
     y, cb, cr = _rgb_to_ycbcr(img)
     bins = jnp.round(jnp.clip(y, 0.0, 255.0)).astype(jnp.int32)
 
-    # (grid² , tile_px) tile-major pixel bins
+    # (grid² , tile_px) tile-major pixel bins → fused compare-reduce hist
     tiled = bins.reshape(grid, th, grid, tw).transpose(0, 2, 1, 3)
     tiled = tiled.reshape(grid * grid, th * tw)
-    onehot = jax.nn.one_hot(tiled, 256, dtype=jnp.float32)
-    hist = onehot.sum(axis=1)                       # (G², 256)
+    hist = jnp.sum(tiled[:, :, None] == jnp.arange(256), axis=1,
+                   dtype=jnp.float32)              # (G², 256)
 
     tile_px = float(th * tw)
     limit = jnp.maximum(jnp.floor(clip_limit * tile_px / 256.0), 1.0)
@@ -182,28 +189,41 @@ def clahe_luma(img: jnp.ndarray, clip_limit: float = 2.0,
     cdf = jnp.cumsum(clipped, axis=1) + batch * (b + 1.0) + resid_cum
     lut = jnp.round(cdf * (255.0 / tile_px))                # (G², 256)
 
-    # bilinear blend of the 4 neighbouring tile LUTs, evaluated at each
-    # pixel's bin: 4 gathers of H·W elements (luma only — cheap next to a
-    # full map_coordinates warp)
-    yy = (jnp.arange(h, dtype=jnp.float32) - 0.5 * th) / th
-    xx = (jnp.arange(w, dtype=jnp.float32) - 0.5 * tw) / tw
-    yy = jnp.clip(yy, 0.0, grid - 1.0)
-    xx = jnp.clip(xx, 0.0, grid - 1.0)
-    y0 = jnp.floor(yy).astype(jnp.int32)
-    x0 = jnp.floor(xx).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, grid - 1)
-    x1 = jnp.minimum(x0 + 1, grid - 1)
-    fy = (yy - y0)[:, None]
-    fx = (xx - x0)[None, :]
+    # block-structured application: pad by half a tile so pixels form a
+    # uniform (grid+1)² partition of blocks, each blending 4 fixed tiles
+    py, px = th // 2, tw // 2
+    nb = grid + 1
+    binsp = jnp.pad(bins, ((py, py), (px, px)), mode="edge")
+    blocks = binsp.reshape(nb, th, nb, tw).transpose(0, 2, 1, 3)
+    blocks = blocks.reshape(nb * nb, th * tw)
 
-    flat = lut.reshape(-1)                          # (G²·256,)
+    # static per-block corner-tile indices and bilinear weights: band k
+    # blends tiles clamp(k-1) and clamp(k); interior fractional weight is
+    # r/tile, edge bands collapse to a single tile (cv2 clamped centers)
+    t0 = np.clip(np.arange(nb) - 1, 0, grid - 1)
+    t1 = np.clip(np.arange(nb), 0, grid - 1)
+    corners = np.stack([t0[:, None] * grid + t0[None, :],
+                        t0[:, None] * grid + t1[None, :],
+                        t1[:, None] * grid + t0[None, :],
+                        t1[:, None] * grid + t1[None, :]],
+                       axis=-1).reshape(nb * nb, 4)
+    fy = np.zeros((nb, th), np.float32)
+    fy[1:grid] = np.arange(th, dtype=np.float32) / th
+    fx = np.zeros((nb, tw), np.float32)
+    fx[1:grid] = np.arange(tw, dtype=np.float32) / tw
+    wy = np.broadcast_to(fy[:, None, :, None], (nb, nb, th, tw))
+    wx = np.broadcast_to(fx[None, :, None, :], (nb, nb, th, tw))
+    wy = jnp.asarray(wy.reshape(nb * nb, th * tw))
+    wx = jnp.asarray(wx.reshape(nb * nb, th * tw))
 
-    def look(ty, tx):
-        idx = (ty[:, None] * grid + tx[None, :]) * 256 + bins
-        return jnp.take(flat, idx)
+    lut4 = jnp.take(lut, jnp.asarray(corners), axis=0)      # (K, 4, 256)
+    onehot = (blocks[:, :, None] == jnp.arange(256)).astype(jnp.float32)
+    vals = jnp.einsum("kpb,kcb->kpc", onehot, lut4)         # (K, P, 4)
+    out = (vals[..., 0] * (1 - wy) * (1 - wx) + vals[..., 1] * (1 - wy) * wx
+           + vals[..., 2] * wy * (1 - wx) + vals[..., 3] * wy * wx)
 
-    out = (look(y0, x0) * (1 - fy) * (1 - fx) + look(y0, x1) * (1 - fy) * fx
-           + look(y1, x0) * fy * (1 - fx) + look(y1, x1) * fy * fx)
+    out = out.reshape(nb, nb, th, tw).transpose(0, 2, 1, 3)
+    out = out.reshape(h + th, w + tw)[py:py + h, px:px + w]
     return _ycbcr_to_rgb(out, cb, cr)
 
 
