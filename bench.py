@@ -48,26 +48,32 @@ def _throughput(model_name: str, use_pallas: bool = False) -> float:
     pos_idx = jnp.arange(BATCH) % 32
 
     @jax.jit
-    def step(v, crops_u8):
+    def step(v, crops_u8, carry):
         x = normalize_imagenet(crops_u8, use_pallas=use_pallas)
         logits = model.apply(v, x, train=False, pos_indices=pos_idx)
-        return jnp.sum(logits)  # scalar: forces execution, ~4 B download
+        # chain through `carry` (scaled so it can't be constant-folded
+        # away): each step's input depends on the previous step's output,
+        # so ONE final fetch waits for the whole chain — honest device
+        # time without a ~25 ms relay round trip per step
+        return jnp.sum(logits) + carry * jnp.float32(1e-30)
 
     rng = np.random.default_rng(0)
     crops = jax.device_put(
         jnp.asarray(rng.integers(0, 255, (BATCH, 224, 224, 3), dtype=np.uint8)))
 
-    float(step(variables, crops))  # warmup / compile
+    carry = jnp.float32(0.0)
+    carry = step(variables, crops, carry)
+    float(carry)  # warmup / compile
     t0 = time.perf_counter()
-    float(step(variables, crops))
+    float(step(variables, crops, carry))
     per_call = time.perf_counter() - t0
     iters = max(3, min(50, int(3.0 / max(per_call, 1e-3))))
-    # per-call sync to avoid relay enqueue lies
     t1 = time.perf_counter()
     for _ in range(iters):
-        float(step(variables, crops))
-    dt_sync = time.perf_counter() - t1
-    return BATCH * iters / dt_sync
+        carry = step(variables, crops, carry)
+    float(carry)
+    dt = time.perf_counter() - t1
+    return BATCH * iters / dt
 
 
 def _video_latency():

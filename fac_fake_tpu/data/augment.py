@@ -158,11 +158,13 @@ def clahe_luma(img: jnp.ndarray, clip_limit: float = 2.0,
         makes a uniform (grid+1)² block partition whose corner-tile indices
         and bilinear weights are static — the lookup becomes a batched
         one-hot × LUT matmul, and the blend a static weighted sum.
-    H and W must divide by `grid` and tiles must be even-sized.
+    H and W must divide by `grid` with even-sized tiles; otherwise (tiny
+    inputs, odd tiles) it falls back to global (1-tile) equalization.
     """
     h, w = img.shape[0], img.shape[1]
     th, tw = h // grid, w // grid
-    assert th % 2 == 0 and tw % 2 == 0, (h, w, grid)
+    if grid > 1 and (th < 2 or tw < 2 or th % 2 or tw % 2):
+        return clahe_luma(img, clip_limit, grid=1)
     y, cb, cr = _rgb_to_ycbcr(img)
     bins = jnp.round(jnp.clip(y, 0.0, 255.0)).astype(jnp.int32)
 
@@ -188,6 +190,10 @@ def clahe_luma(img: jnp.ndarray, clip_limit: float = 2.0,
                           jnp.minimum(jnp.floor(b / step) + 1.0, resid), 0.0)
     cdf = jnp.cumsum(clipped, axis=1) + batch * (b + 1.0) + resid_cum
     lut = jnp.round(cdf * (255.0 / tile_px))                # (G², 256)
+
+    if grid == 1:   # global equalization: one LUT, no blending
+        onehot = (bins[:, :, None] == jnp.arange(256)).astype(jnp.float32)
+        return _ycbcr_to_rgb(onehot @ lut[0], cb, cr)
 
     # block-structured application: pad by half a tile so pixels form a
     # uniform (grid+1)² partition of blocks, each blending 4 fixed tiles
