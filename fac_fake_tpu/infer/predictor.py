@@ -42,7 +42,13 @@ UPPER_BOUND = 90    # crops beyond 90 are dropped (`cvit_prediction.py:236`)
 
 class VideoScorer:
     def __init__(self, model, variables, cfg: Optional[Config] = None,
-                 detector=None, reader=None, fold_bn: bool = True):
+                 detector=None, reader=None, fold_bn: bool = True,
+                 mesh=None):
+        """`mesh`: optional `jax.sharding.Mesh` for multi-chip serving —
+        crops shard over the 'data' axis (weights replicated), XLA inserts
+        the collectives; scores are identical to single-chip. The padded
+        capacities (batch_crops, VIDEO_BUCKETS) must divide the data-axis
+        size (defaults do for 2/4/8-way)."""
         from fac_fake_tpu.core.config import Config as _C
         self.cfg = cfg or _C()
         if fold_bn and hasattr(model, "stem_spec"):
@@ -51,7 +57,15 @@ class VideoScorer:
             from fac_fake_tpu.compat.fold import fold_cvit
             model, variables = fold_cvit(model, variables)
         self.model = model
-        self.variables = jax.device_put(variables)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._rep = NamedSharding(mesh, P())
+            self._shard_crops = NamedSharding(mesh, P("data"))
+            self.variables = jax.device_put(variables, self._rep)
+        else:
+            self._rep = self._shard_crops = None
+            self.variables = jax.device_put(variables)
         self._detector = detector
         self._reader = reader
         self.capacity = self.cfg.infer.batch_crops
@@ -68,7 +82,15 @@ class VideoScorer:
                 logits = model.apply(v, x, train=False)
             return aggregate_probs(logits, jnp.minimum(count, UPPER_BOUND))
 
-        self._score = jax.jit(score_fn)
+        self._score = jax.jit(score_fn,
+                              out_shardings=self._rep) if mesh is not None \
+            else jax.jit(score_fn)
+
+    def _put_crops(self, padded: np.ndarray):
+        """Upload a padded crop stack, sharded over the mesh when present."""
+        if self._shard_crops is not None:
+            return jax.device_put(padded, self._shard_crops)
+        return jnp.asarray(padded)
 
     # --- lazily built host-side helpers -------------------------------
     @property
@@ -131,7 +153,7 @@ class VideoScorer:
         cap = self.capacity
         padded = np.zeros((cap, *crops_u8.shape[1:]), np.uint8)
         padded[: min(n, cap)] = crops_u8[:cap]
-        prob = self._score(self.variables, jnp.asarray(padded),
+        prob = self._score(self.variables, self._put_crops(padded),
                            jnp.asarray(min(n, cap), jnp.int32))
         return float(prob)
 
@@ -198,7 +220,8 @@ class VideoScorer:
             logits = model.apply(v, x, train=False, **kw).reshape(vv, slot, -1)
             return jax.vmap(aggregate_probs)(logits, counts)
 
-        jfn = jax.jit(fn)
+        jfn = jax.jit(fn, out_shardings=self._rep) if self.mesh is not None \
+            else jax.jit(fn)
         self._batched_cache[v_cap] = jfn
         return jfn
 
@@ -214,7 +237,7 @@ class VideoScorer:
             packed[k, :n] = crops[:n]
             counts[k] = n
         probs = np.asarray(self._batched_fn(v_cap)(
-            self.variables, jnp.asarray(packed), jnp.asarray(counts)))
+            self.variables, self._put_crops(packed), jnp.asarray(counts)))
         for k, (i, _) in enumerate(chunk):
             results[i] = float(probs[k])
 

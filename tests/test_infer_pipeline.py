@@ -155,3 +155,34 @@ def test_batched_video_scoring_matches_per_video():
     single = [scorer.score_crops(c) for c in crops_sets]
     np.testing.assert_allclose(batched, single, atol=2e-5)
     assert batched[2] == 0.5 and batched[3] == 0.5
+
+
+def test_mesh_sharded_scoring_matches_single_device():
+    """Multi-chip serving: a VideoScorer over an 8-device mesh (crops
+    sharded on 'data', weights replicated) produces the same scores as the
+    single-device scorer — both per-video and batched paths."""
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.core.config import Config
+    from fac_fake_tpu.infer.predictor import VideoScorer
+    from fac_fake_tpu.parallel.mesh import build_mesh
+
+    model = _tiny_cvit()
+    variables = model.init(jax.random.key(4), jnp.zeros((1, 224, 224, 3)))
+    cfg = Config()
+    plain = VideoScorer(model, variables, cfg)
+    mesh = build_mesh()                      # 8 virtual CPU devices (conftest)
+    sharded = VideoScorer(model, variables, cfg, mesh=mesh)
+
+    rng = np.random.default_rng(5)
+    crops_sets = [rng.integers(0, 255, (n, 224, 224, 3), dtype=np.uint8)
+                  for n in (7, 3, 0, 21)]
+    for c in crops_sets:
+        np.testing.assert_allclose(sharded.score_crops(c),
+                                   plain.score_crops(c), atol=1e-6)
+
+    sharded.gather_crops = lambda p: crops_sets[int(p)]
+    plain.gather_crops = lambda p: crops_sets[int(p)]
+    np.testing.assert_allclose(
+        sharded.score_videos_batched(["0", "1", "2", "3"]),
+        plain.score_videos_batched(["0", "1", "2", "3"]), atol=1e-6)
