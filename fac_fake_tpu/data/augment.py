@@ -223,8 +223,11 @@ def clahe_luma(img: jnp.ndarray, clip_limit: float = 2.0,
     wx = jnp.asarray(wx.reshape(nb * nb, th * tw))
 
     lut4 = jnp.take(lut, jnp.asarray(corners), axis=0)      # (K, 4, 256)
-    onehot = (blocks[:, :, None] == jnp.arange(256)).astype(jnp.float32)
-    vals = jnp.einsum("kpb,kcb->kpc", onehot, lut4)         # (K, P, 4)
+    # bf16 operands halve the one-hot's HBM traffic; one-hot is exact in
+    # bf16 and LUT values ≤255 round to ≤0.5 — accumulate in f32
+    onehot = (blocks[:, :, None] == jnp.arange(256)).astype(jnp.bfloat16)
+    vals = jnp.einsum("kpb,kcb->kpc", onehot, lut4.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)   # (K, P, 4)
     out = (vals[..., 0] * (1 - wy) * (1 - wx) + vals[..., 1] * (1 - wy) * wx
            + vals[..., 2] * wy * (1 - wx) + vals[..., 3] * wy * wx)
 

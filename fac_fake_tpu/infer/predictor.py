@@ -95,9 +95,24 @@ class VideoScorer:
     # --- lazily built host-side helpers -------------------------------
     @property
     def detector(self):
+        """Built per `cfg.infer.detector`. The reference's predict path used
+        face_recognition/dlib (`cvit_prediction.py:106-121`) with dormant
+        MTCNN/BlazeFace alternates (`:86-102,124-147`); here BlazeFace is the
+        default (its weights ship with the reference), the MTCNN cascade is
+        `detect/mtcnn.py` (supply converted facenet_pytorch weights), and
+        "face_recognition" uses the external lib when installed."""
         if self._detector is None:
-            from fac_fake_tpu.detect.blazeface import BlazeFace
-            self._detector = BlazeFace.from_reference_assets()
+            kind = self.cfg.infer.detector
+            if kind == "mtcnn":
+                from fac_fake_tpu.detect.mtcnn import MTCNN
+                self._detector = MTCNN(
+                    thresholds=self.cfg.infer.mtcnn_thresholds)
+            elif kind == "face_recognition":
+                import face_recognition  # noqa: F401 — external dlib lib
+                self._detector = kind
+            else:
+                from fac_fake_tpu.detect.blazeface import BlazeFace
+                self._detector = BlazeFace.from_reference_assets()
         return self._detector
 
     @property
@@ -130,8 +145,12 @@ class VideoScorer:
         if not ordered:
             return np.zeros((0, 224, 224, 3), np.uint8)
 
-        extractor = FaceExtractor(None, self.detector)
         size = self.cfg.data.image_size
+        kind = self.cfg.infer.detector
+        if kind in ("mtcnn", "face_recognition"):
+            return self._gather_boxed(ordered, size, kind)
+
+        extractor = FaceExtractor(None, self.detector)
         crops: List[np.ndarray] = []
         for fd in extractor.process_frames(np.stack(ordered)):
             for face in fd["faces"][: self.cfg.data.max_faces_per_frame]:
@@ -139,6 +158,37 @@ class VideoScorer:
                     break
                 crops.append(cv2.resize(face, (size, size),
                                         interpolation=cv2.INTER_AREA))
+        if not crops:
+            return np.zeros((0, size, size, 3), np.uint8)
+        return np.stack(crops)
+
+    def _gather_boxed(self, frames, size: int, kind: str) -> np.ndarray:
+        """Box-detector crop gathering — the reference's `face_mtcnn`
+        (`cvit_prediction.py:86-102`) and `face_face_rec` (`:106-121`)
+        loops: ≤5 faces/frame, ≤29/video, plain box crop + 224² resize."""
+        import cv2
+        max_pf = min(5, self.cfg.data.max_faces_per_frame)
+        crops: List[np.ndarray] = []
+        for frame in frames:
+            if len(crops) >= 29:
+                break
+            if kind == "mtcnn":
+                boxes, probs, _, valid = self.detector.detect(frame)
+                rects = [(int(y1), int(y2), int(x1), int(x2))
+                         for (x1, y1, x2, y2), v in zip(boxes, valid) if v]
+            else:
+                import face_recognition
+                self.detector  # validates the lib is importable
+                rects = [(top, bottom, left, right) for
+                         (top, right, bottom, left)
+                         in face_recognition.face_locations(frame)]
+            for (y1, y2, x1, x2) in rects[:max_pf]:
+                if len(crops) >= 29:
+                    break
+                face = frame[max(y1, 0):y2, max(x1, 0):x2]
+                if face.size:
+                    crops.append(cv2.resize(face, (size, size),
+                                            interpolation=cv2.INTER_AREA))
         if not crops:
             return np.zeros((0, size, size, 3), np.uint8)
         return np.stack(crops)
