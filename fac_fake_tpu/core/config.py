@@ -150,6 +150,13 @@ class AugmentConfig:
     image_compression: bool = False
     compression_quality: Tuple[int, int] = (60, 100)
     compression_prob: float = 0.2
+    # S3D train transform extras (`deepfakes_dataset.py:36,44-45`):
+    # GaussianBlur(blur_limit=(1,3), p=.05), FancyPCA (inside the p=.4
+    # OneOf with brightness/HSV), ToGray(p=.2) as a random aug
+    gaussian_blur: bool = False
+    blur_prob: float = 0.05
+    fancy_pca: bool = False
+    to_gray_prob: float = 0.0
 
 
 @dataclass

@@ -57,6 +57,10 @@ def load_plan(path: str, cfg: Optional[Config] = None) -> Config:
     # strong_aug: ImageCompression(60-100, p=.2) + hflip + brightness/HSV +
     # gauss noise + SSR(rot 5°) — no CLAHE/rot90/transpose/vflip/sharpen/emboss
     cfg.data.augment.image_compression = True
+    cfg.data.augment.gaussian_blur = True
+    cfg.data.augment.fancy_pca = True
+    if cfg.data.picture_color != "gray":
+        cfg.data.augment.to_gray_prob = 0.2   # ToGray(p=.2) random aug
     cfg.data.augment.clahe = False
     cfg.data.augment.rot90 = False
     cfg.data.augment.transpose = False

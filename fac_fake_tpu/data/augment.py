@@ -313,7 +313,7 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.n
     # independent, otherwise conditioning on the coin silently truncates the
     # parameter distribution (e.g. a shared key makes brightness==contrast
     # and the coin<p region maps to the lower half of the range)
-    keys = jax.random.split(key, 25)
+    keys = jax.random.split(key, 30)
     p = cfg.prob
 
     def coin(k):
@@ -348,6 +348,27 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.n
         noise = sigma * jax.random.normal(keys[6], img.shape)
         img = jnp.where(coin(keys[7])[None, None, None],
                         jnp.clip(img + noise, 0, 1), img)
+    if cfg.gaussian_blur:
+        # albumentations GaussianBlur(blur_limit=(1,3), p=.05)
+        # (`deepfakes_dataset.py:36`): ksize 1 (identity) or 3 with cv2's
+        # default sigma for k=3 (0.8)
+        g = jnp.asarray([0.25, 0.5, 0.25], jnp.float32)  # cv2 k=3 auto-sigma taps
+        blurred = jnp.clip(_conv3x3(img, g[:, None] * g[None, :]), 0, 1)
+        k3 = jax.random.bernoulli(keys[24])
+        take = (jax.random.uniform(keys[25]) < cfg.blur_prob) & k3
+        img = jnp.where(take[None, None, None], blurred, img)
+    if cfg.fancy_pca:
+        # albumentations FancyPCA(alpha=.1) (`deepfakes_dataset.py:44`
+        # OneOf): per-image RGB covariance eigendecomposition, shift along
+        # eigenvectors by N(0, .1)-weighted eigenvalues (AlexNet aug)
+        flat = img.reshape(-1, 3)
+        centered = flat - flat.mean(axis=0)
+        cov = centered.T @ centered / flat.shape[0]
+        evals, evecs = jnp.linalg.eigh(cov)
+        alphas = 0.1 * jax.random.normal(keys[26], (3,))
+        delta = evecs @ (alphas * evals)
+        shifted = jnp.clip(img + delta[None, None, :], 0, 1)
+        img = jnp.where(coin(keys[27])[None, None, None], shifted, img)
     if cfg.clahe:
         # strong_aug CLAHE(clip_limit=2) sits between SSR and Sharpen
         # (`helpers/augmentation.py:19-21`)
@@ -385,6 +406,13 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.n
              jnp.clip(hsv[..., 2] + dv, 0, 1)], axis=-1))
         img = jnp.where(coin(keys[11])[None, None, None],
                         jnp.clip(shifted, 0, 1), img)
+    if cfg.to_gray_prob > 0:
+        # ToGray(p=.2) as a *random* aug (`deepfakes_dataset.py:45`);
+        # distinct from the deterministic gray-plan conversion below
+        gray = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+        take = jax.random.uniform(keys[28]) < cfg.to_gray_prob
+        img = jnp.where(take[None, None, None],
+                        jnp.broadcast_to(gray[..., None], img.shape), img)
     if cfg.to_gray:
         gray = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
         img = jnp.broadcast_to(gray[..., None], img.shape)

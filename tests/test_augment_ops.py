@@ -125,3 +125,66 @@ def test_augment_batch_with_new_ops_jits():
         jax.random.key(0), jnp.asarray(batch))
     assert out.shape == batch.shape
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+# --- S3D train-transform extras ---------------------------------------------
+
+def test_gaussian_blur_kernel_matches_cv2():
+    import cv2
+    from fac_fake_tpu.data.augment import _conv3x3
+    rng = np.random.default_rng(6)
+    img_u8 = _face_like(rng)
+    img = jnp.asarray(img_u8.astype(np.float32) / 255.0)
+    g = jnp.asarray([0.25, 0.5, 0.25], jnp.float32)
+    ours = np.asarray(_conv3x3(img, g[:, None] * g[None, :])) * 255.0
+    ref = cv2.GaussianBlur(img_u8.astype(np.float32), (3, 3), 0)  # sigma auto=0.8
+    # interior only (border handling differs: zero-pad vs reflect)
+    np.testing.assert_allclose(ours[2:-2, 2:-2], ref[2:-2, 2:-2], atol=0.35)
+
+
+def test_fancy_pca_matches_reference_algorithm():
+    from fac_fake_tpu.data.augment import augment_image
+    from fac_fake_tpu.core.config import AugmentConfig
+
+    rng = np.random.default_rng(7)
+    img_u8 = _face_like(rng)
+    img01 = img_u8.astype(np.float32) / 255.0
+
+    # reference math (albumentations fancy_pca): eigendecompose the RGB
+    # covariance, shift every pixel by evecs @ (alpha * evals)
+    flat = img01.reshape(-1, 3)
+    c = flat - flat.mean(0)
+    evals, evecs = np.linalg.eigh(c.T @ c / flat.shape[0])
+
+    cfg = AugmentConfig(enabled=True, prob=1.0, fancy_pca=True,
+                        hflip=False, vflip=False, rot90=False, transpose=False,
+                        gauss_noise=False, sharpen=False, emboss=False,
+                        brightness_contrast=False, hue_saturation=False,
+                        color_jitter=False, clahe=False, rotation_deg=0.0)
+    out = np.asarray(augment_image(jax.random.key(3), jnp.asarray(img01), cfg))
+    delta = out - img01
+    # the shift is a single global RGB vector (before clipping)
+    interior = np.abs(out - 1.0) > 1e-6
+    d = delta.reshape(-1, 3)[interior.reshape(-1, 3).all(axis=1)]
+    assert d.shape[0] > 1000
+    np.testing.assert_allclose(d.std(axis=0), 0.0, atol=1e-5)  # constant shift
+    # and that vector lies in the span scaled by eigenvalues: reconstruct
+    # alphas and check plausibility |alpha| < 5 sigma
+    vec = d.mean(axis=0)
+    alphas = vec @ evecs / np.maximum(evals, 1e-12)
+    assert np.all(np.abs(alphas) < 0.5), alphas
+
+
+def test_to_gray_prob_is_random():
+    from fac_fake_tpu.data.augment import augment_image
+    from fac_fake_tpu.core.config import AugmentConfig
+    rng = np.random.default_rng(8)
+    img = jnp.asarray(_face_like(rng).astype(np.float32) / 255.0)
+    cfg = AugmentConfig(enabled=True, prob=0.0, to_gray_prob=0.5,
+                        clahe=False, rotation_deg=0.0)
+    grays = 0
+    for i in range(20):
+        out = np.asarray(augment_image(jax.random.key(i), img, cfg))
+        if np.allclose(out[..., 0], out[..., 1]):
+            grays += 1
+    assert 3 <= grays <= 17   # ~Binomial(20, .5)
