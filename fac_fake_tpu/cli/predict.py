@@ -60,9 +60,8 @@ def main(argv=None):
             variables = convert_cvit(load_torch_state_dict(args.weights),
                                      variables, variant)
         else:
-            import orbax.checkpoint as ocp
-            with ocp.StandardCheckpointer() as ck:
-                variables = ck.restore(args.weights, variables)
+            from fac_fake_tpu.train.checkpoint import restore_variables
+            variables = restore_variables(args.weights, variables)
 
     scorer = VideoScorer(model, variables, cfg)
     t0 = time.perf_counter()

@@ -62,9 +62,8 @@ def build_scorer(args):
             variables = convert_cvit(load_torch_state_dict(args.weights),
                                      variables, variant)
         else:
-            import orbax.checkpoint as ocp
-            with ocp.StandardCheckpointer() as ck:
-                variables = ck.restore(args.weights, variables)
+            from fac_fake_tpu.train.checkpoint import restore_variables
+            variables = restore_variables(args.weights, variables)
     return VideoScorer(model, variables, cfg)
 
 

@@ -58,3 +58,36 @@ def restore_checkpoint(directory: str, template: TrainState,
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
                                 jax.device_get(template))
         return mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+
+def restore_variables(path: str, variables: Optional[dict] = None) -> dict:
+    """Restore *model variables* from any checkpoint this framework writes:
+    a `save_best` TrainState dir, a CheckpointManager step dir (the
+    `.../<step>/default` layout), or a plain saved variables dict.
+
+    The inference CLIs take `--weights <orbax path>`; a TrainState carries
+    params/batch_stats/schedule plus optimizer state — this extracts just
+    the variable collections the model's `apply` needs. When `variables`
+    (an initialized template) is given, leaf shapes are checked.
+    """
+    path = os.path.abspath(path)
+    inner = os.path.join(path, "default")
+    if not os.path.isdir(os.path.join(path, "_CHECKPOINT_METADATA")) \
+            and os.path.isdir(inner):
+        path = inner
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(path)
+    if "params" in tree:
+        out = {"params": tree["params"]}
+        for col in ("batch_stats", "schedule"):
+            if tree.get(col):
+                out[col] = tree[col]
+    else:
+        out = tree
+    if variables is not None:
+        want = jax.tree.map(lambda x: x.shape, variables.get("params", {}))
+        got = jax.tree.map(lambda x: x.shape, out.get("params", {}))
+        if want != got:
+            raise ValueError(
+                f"checkpoint params don't match the model: {path}")
+    return out

@@ -46,6 +46,28 @@ def test_train_cli_end_to_end(tmp_path, capsys):
     h = pickle.load(open(hist, "rb"))
     assert len(h) == 4 and len(h[0]) == 1   # [tl, ta, vl, va] × 1 epoch
 
+    # full circle: the best-acc snapshot persisted by training loads back
+    # into the inference CLI's variables (TrainState → variables extraction)
+    best = ck / "best"
+    assert best.is_dir(), os.listdir(ck)
+    import jax, jax.numpy as jnp
+    from fac_fake_tpu.core.config import ModelConfig
+    from fac_fake_tpu.models import build_model
+    from fac_fake_tpu.train.checkpoint import restore_variables
+    model = build_model(ModelConfig(name="cvit", depth=1, dim=32, mlp_dim=32,
+                                    heads=2, channels=32))
+    template = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+    variables = restore_variables(str(best), template)
+    assert "params" in variables and "batch_stats" in variables
+    logits = model.apply(variables, jnp.zeros((1, 224, 224, 3)), train=False)
+    assert logits.shape == (1, 2)
+    # wrong model must be rejected by the shape check
+    other = build_model(ModelConfig(name="cvit", depth=1, dim=16, mlp_dim=16,
+                                    heads=2, channels=16))
+    t2 = other.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+    with pytest.raises(ValueError):
+        restore_variables(str(best), t2)
+
 
 @pytest.mark.skipif(not os.path.isdir(SAMPLES), reason="reference not mounted")
 def test_predict_cli_end_to_end(tmp_path, capsys):
