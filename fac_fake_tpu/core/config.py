@@ -157,6 +157,10 @@ class AugmentConfig:
     blur_prob: float = 0.05
     fancy_pca: bool = False
     to_gray_prob: float = 0.0
+    # mutually-exclusive color ops: OneOf([BrightnessContrast, FancyPCA,
+    # HSV], p=.4) instead of independent coins (S3D transform semantics)
+    color_oneof: bool = False
+    color_oneof_prob: float = 0.4
 
 
 @dataclass

@@ -59,6 +59,7 @@ def load_plan(path: str, cfg: Optional[Config] = None) -> Config:
     cfg.data.augment.image_compression = True
     cfg.data.augment.gaussian_blur = True
     cfg.data.augment.fancy_pca = True
+    cfg.data.augment.color_oneof = True   # OneOf(bc, pca, hsv) p=.4
     if cfg.data.picture_color != "gray":
         cfg.data.augment.to_gray_prob = 0.2   # ToGray(p=.2) random aug
     cfg.data.augment.clahe = False

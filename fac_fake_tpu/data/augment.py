@@ -313,11 +313,26 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.n
     # independent, otherwise conditioning on the coin silently truncates the
     # parameter distribution (e.g. a shared key makes brightness==contrast
     # and the coin<p region maps to the lower half of the range)
-    keys = jax.random.split(key, 30)
+    keys = jax.random.split(key, 32)
     p = cfg.prob
 
     def coin(k):
         return jax.random.uniform(k) < p
+
+    # color-op gating: independent per-op coins (CViT strong_aug applies
+    # BrightnessContrast and HSV as separate ops) or the S3D transform's
+    # OneOf([RandomBrightnessContrast, FancyPCA, HueSaturationValue], p=.4)
+    # (`deepfakes_dataset.py:44`) — group coin then a uniform 3-way pick
+    if cfg.color_oneof:
+        group = jax.random.uniform(keys[29]) < cfg.color_oneof_prob
+        pick = jax.random.randint(keys[30], (), 0, 3)
+        take_bc = group & (pick == 0)
+        take_pca = group & (pick == 1)
+        take_hsv = group & (pick == 2)
+    else:
+        take_bc = coin(keys[18])
+        take_pca = coin(keys[27])
+        take_hsv = coin(keys[11])
 
     if cfg.image_compression:
         # S3D order: ImageCompression runs before the geometric/color ops
@@ -368,7 +383,7 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.n
         alphas = 0.1 * jax.random.normal(keys[26], (3,))
         delta = evecs @ (alphas * evals)
         shifted = jnp.clip(img + delta[None, None, :], 0, 1)
-        img = jnp.where(coin(keys[27])[None, None, None], shifted, img)
+        img = jnp.where(take_pca[None, None, None], shifted, img)
     if cfg.clahe:
         # strong_aug CLAHE(clip_limit=2) sits between SSR and Sharpen
         # (`helpers/augmentation.py:19-21`)
@@ -394,7 +409,7 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.n
     if cfg.brightness_contrast:
         a = jax.random.uniform(keys[9], (), minval=-0.2, maxval=0.2)
         b = jax.random.uniform(keys[17], (), minval=-0.2, maxval=0.2)
-        img = jnp.where(coin(keys[18])[None, None, None],
+        img = jnp.where(take_bc[None, None, None],
                         jnp.clip((img - 0.5) * (1 + a) + 0.5 + b, 0, 1), img)
     if cfg.hue_saturation or cfg.color_jitter:
         hsv = _rgb_to_hsv_vec(img)
@@ -404,7 +419,7 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.n
         shifted = _hsv_to_rgb_vec(jnp.stack(
             [hsv[..., 0] + dh, jnp.clip(hsv[..., 1] + ds, 0, 1),
              jnp.clip(hsv[..., 2] + dv, 0, 1)], axis=-1))
-        img = jnp.where(coin(keys[11])[None, None, None],
+        img = jnp.where(take_hsv[None, None, None],
                         jnp.clip(shifted, 0, 1), img)
     if cfg.to_gray_prob > 0:
         # ToGray(p=.2) as a *random* aug (`deepfakes_dataset.py:45`);

@@ -188,3 +188,26 @@ def test_to_gray_prob_is_random():
         if np.allclose(out[..., 0], out[..., 1]):
             grays += 1
     assert 3 <= grays <= 17   # ~Binomial(20, .5)
+
+
+def test_color_oneof_mutual_exclusion():
+    """OneOf(bc, pca, hsv) p=.4: at most one color op fires per draw, and
+    ~40% of draws fire at all (`deepfakes_dataset.py:44`)."""
+    from fac_fake_tpu.data.augment import augment_image
+    from fac_fake_tpu.core.config import AugmentConfig
+    rng = np.random.default_rng(9)
+    img = jnp.asarray(_face_like(rng).astype(np.float32) / 255.0)
+    base = AugmentConfig(enabled=True, prob=1.0, color_oneof=True,
+                         fancy_pca=True,
+                         hflip=False, vflip=False, rot90=False,
+                         transpose=False, gauss_noise=False, sharpen=False,
+                         emboss=False, clahe=False, rotation_deg=0.0,
+                         hue_saturation=True, color_jitter=False,
+                         brightness_contrast=True)
+    fired = 0
+    for i in range(30):
+        out = np.asarray(augment_image(jax.random.key(100 + i), img, base))
+        if not np.allclose(out, np.asarray(img), atol=1e-6):
+            fired += 1
+    # ~Binomial(30, .4): loose 3-sigma band
+    assert 4 <= fired <= 21, fired
