@@ -13,8 +13,10 @@ CLAHE (`helpers/augmentation.py:20`, clip_limit=2, 8×8 tiles) equalizes the
 YCbCr luma channel instead of LAB-L; ImageCompression
 (`S3D/deepfakes_dataset.py:34`, quality 60–100) is a real 8×8 block-DCT
 JPEG quantization with 4:2:0 chroma subsampling, expressed as matmuls so it
-rides the MXU (no cv2 round trip). The p=1 *eval* degradation keeps the
-bit-exact cv2 path (`evaluate/s3d_eval.py`).
+rides the MXU (no cv2 round trip). The S3D-transform extras are complete:
+GaussianBlur (cv2 k=3 taps), FancyPCA (per-image RGB eigen-shift), random
+ToGray, and the OneOf(bc/pca/hsv, p=.4) exclusivity. The p=1 *eval*
+degradation keeps the bit-exact cv2 path (`evaluate/s3d_eval.py`).
 
 All ops take/return float32 images in [0,1], HWC.
 """
