@@ -67,6 +67,12 @@ class S3DEvaluator:
                 continue
             labels.append(dataset.samples[i][1])
             scores.append(self.predict_video(clip, rng))
+        if not labels:
+            # every video skipped (too few crops for the snippet policy —
+            # the reference needs ≥200 crops/video, `S3D-test.py:183-184`);
+            # report it instead of crashing in sklearn
+            return {"accuracy": float("nan"), "f1": float("nan"),
+                    "bce": float("nan"), "count": 0}
         labels_a = np.asarray(labels)
         scores_a = np.asarray(scores)
         preds = (scores_a > 0.5).astype(int)
