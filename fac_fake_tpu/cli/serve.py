@@ -36,6 +36,12 @@ def parse_args(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8500)
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--video-root", default=None,
+                    help="restrict GET /score?path= to files under this "
+                         "directory (required for non-loopback binds)")
+    ap.add_argument("--allow-any-path", action="store_true",
+                    help="serve arbitrary host paths even on a non-loopback "
+                         "bind (dangerous: /score opens any readable file)")
     ap.add_argument("--set", nargs="*", default=[])
     return ap.parse_args(argv)
 
@@ -70,9 +76,12 @@ def build_scorer(args):
 class ScoringService:
     """Owns the scorer; serializes device scoring, overlaps host work."""
 
-    def __init__(self, scorer, model_name: str):
+    def __init__(self, scorer, model_name: str, video_root=None):
         self.scorer = scorer
         self.model_name = model_name
+        # normalized allowlist root for GET /score?path= (None: any path —
+        # safe only behind a loopback bind; `serve()` enforces that)
+        self.video_root = os.path.realpath(video_root) if video_root else None
         self._lock = threading.Lock()
 
     def warmup(self):
@@ -115,6 +124,11 @@ def make_handler(service: ScoringService):
                 path = parse_qs(url.query).get("path", [None])[0]
                 if not path or not os.path.exists(path):
                     return self._send(400, {"error": f"no such file: {path}"})
+                root = service.video_root
+                if root is not None and not \
+                        os.path.realpath(path).startswith(root + os.sep):
+                    return self._send(
+                        403, {"error": f"path outside --video-root: {path}"})
                 try:
                     return self._send(200, service.score_path(path))
                 except Exception as e:     # surface, don't crash the server
@@ -151,9 +165,15 @@ def serve(argv=None, *, scorer=None, ready_event=None, server_box=None):
     `ready_event` set once listening, and a `server_box` list that receives
     the server object (for shutdown())."""
     args = parse_args(argv)
+    loopback = args.host in ("127.0.0.1", "localhost", "::1")
+    if not loopback and not args.video_root and not args.allow_any_path:
+        raise SystemExit(
+            "refusing a non-loopback bind without --video-root: GET /score"
+            "?path= would open arbitrary host-readable files. Pass "
+            "--video-root DIR (recommended) or --allow-any-path.")
     if scorer is None:
         scorer = build_scorer(args)
-    service = ScoringService(scorer, args.model)
+    service = ScoringService(scorer, args.model, video_root=args.video_root)
     if not args.no_warmup:
         service.warmup()
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(service))

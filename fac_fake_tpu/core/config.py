@@ -128,9 +128,19 @@ class ModelConfig:
 @dataclass
 class AugmentConfig:
     """On-device augmentation pipeline (replaces albumentations strong_aug,
-    ``CViT-main/helpers/augmentation.py:9-26``)."""
+    ``CViT-main/helpers/augmentation.py:9-26``).
+
+    Defaults model the reference CViT train distribution faithfully:
+    ``Aug()`` wraps ``strong_aug(p=0.9)`` (``augmentation.py:47-50``), i.e. an
+    outer Compose coin at 0.9, with per-op probabilities rot90/transpose/
+    GaussNoise/SSR/HSV = 0.2, flips = 0.5, and the
+    ``OneOf([CLAHE, Sharpen, Emboss, RandomBrightnessContrast], p=0.2)``
+    group (each member effectively ~5%)."""
     enabled: bool = True
     prob: float = 0.5
+    # outer Compose(p=…) coin — strong_aug is built with p=0.9
+    # (`augmentation.py:49`); the S3D transform has no outer p (plans set 1.0)
+    compose_prob: float = 0.9
     hflip: bool = True
     vflip: bool = True
     rot90: bool = True
@@ -145,6 +155,24 @@ class AugmentConfig:
     to_gray: bool = False
     clahe: bool = True             # strong_aug CLAHE(clip_limit=2) (`helpers/augmentation.py:20`)
     clahe_clip_limit: float = 2.0
+    # per-op apply probabilities (strong_aug values; `augmentation.py:11-26`)
+    rot90_prob: float = 0.2
+    transpose_prob: float = 0.2
+    hflip_prob: float = 0.5
+    vflip_prob: float = 0.5
+    noise_prob: float = 0.2        # OneOf([GaussNoise], p=.2); S3D: GaussNoise(p=.3)
+    hsv_prob: float = 0.2
+    # ShiftScaleRotate: p and the albumentations limits (strong_aug uses the
+    # defaults shift=.0625/scale=.1; the S3D transform sets .1/.2 —
+    # `deepfakes_dataset.py:46`)
+    affine_prob: float = 0.5
+    shift_limit: float = 0.0625
+    scale_limit: float = 0.1
+    # OneOf([CLAHE, Sharpen, Emboss, RandomBrightnessContrast], p=.2)
+    # (`augmentation.py:19-24`) — members' default p=.5 normalize to a
+    # uniform 1/4 pick; a member whose flag is disabled no-ops its pick
+    sharpen_oneof: bool = True
+    sharpen_oneof_prob: float = 0.2
     # S3D train transform: ImageCompression(quality_lower=60, quality_upper=100,
     # p=0.2) (`S3D/deepfakes_dataset.py:34`) — on-device block-DCT JPEG
     image_compression: bool = False

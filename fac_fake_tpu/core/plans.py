@@ -68,6 +68,15 @@ def load_plan(path: str, cfg: Optional[Config] = None) -> Config:
     cfg.data.augment.vflip = False
     cfg.data.augment.sharpen = False
     cfg.data.augment.emboss = False
+    cfg.data.augment.sharpen_oneof = False   # no CLAHE/sharpen group in S3D
+    # the S3D Compose has no outer p (`deepfakes_dataset.py:33`), GaussNoise
+    # runs at p=.3, and ShiftScaleRotate(shift_limit=.1, scale_limit=.2,
+    # rotate_limit=5, p=.5) (`:35,46`)
+    cfg.data.augment.compose_prob = 1.0
+    cfg.data.augment.noise_prob = 0.3
+    cfg.data.augment.affine_prob = 0.5
+    cfg.data.augment.shift_limit = 0.1
+    cfg.data.augment.scale_limit = 0.2
     cfg.data.augment.rotation_deg = 5.0
 
     # rebalancing: pos_weight = real / fake (S3D-train.py:264-273)

@@ -8,15 +8,26 @@ transform (`S3D/deepfakes_dataset.py:32-48`) — with a vmapped, jittable
 pipeline that runs on the TPU *inside the train step*: augmentation rides the
 MXU/VPU instead of stalling host workers, and batches stay uint8 on the wire.
 
+Probabilities mirror the reference pipelines: the strong_aug chain is an
+outer Compose(p=.9) (`Aug.__call__`, `augmentation.py:47-50`) over per-op
+coins (rot90/transpose/noise/SSR/HSV at .2, flips at .5) with the
+OneOf([CLAHE, Sharpen, Emboss, BrightnessContrast], p=.2) group; the S3D
+transform has no outer p, GaussNoise(p=.3), SSR(shift .1, scale .2, rot 5°,
+p=.5) and the OneOf(bc/pca/hsv, p=.4) group (plans.py configures these).
+
 Known approximations (randomized training augs, not bit-parity surfaces):
 CLAHE (`helpers/augmentation.py:20`, clip_limit=2, 8×8 tiles) equalizes the
 YCbCr luma channel instead of LAB-L; ImageCompression
 (`S3D/deepfakes_dataset.py:34`, quality 60–100) is a real 8×8 block-DCT
 JPEG quantization with 4:2:0 chroma subsampling, expressed as matmuls so it
-rides the MXU (no cv2 round trip). The S3D-transform extras are complete:
-GaussianBlur (cv2 k=3 taps), FancyPCA (per-image RGB eigen-shift), random
-ToGray, and the OneOf(bc/pca/hsv, p=.4) exclusivity. The p=1 *eval*
-degradation keeps the bit-exact cv2 path (`evaluate/s3d_eval.py`).
+rides the MXU (no cv2 round trip); the ShiftScaleRotate *parameters* (not
+the apply-coins) are drawn once per batch — the price of shared
+interpolation matrices; the loader's extra ColorJitter/flip/±rotation
+(`helpers/loader.py:19-26`) fold into the single hsv/hflip/affine ops. The
+S3D-transform extras: GaussianBlur (cv2 k=3 taps), FancyPCA (per-image RGB
+eigen-shift), random ToGray, and the OneOf(bc/pca/hsv, p=.4) exclusivity.
+The p=1 *eval* degradation keeps the bit-exact cv2 path
+(`evaluate/s3d_eval.py`).
 
 All ops take/return float32 images in [0,1], HWC.
 """
@@ -308,33 +319,52 @@ def jpeg_compress(img: jnp.ndarray, quality: jnp.ndarray) -> jnp.ndarray:
 
 # --- the pipeline -------------------------------------------------------------
 
-def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.ndarray:
+def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig,
+                  outer=None) -> jnp.ndarray:
     """Apply the configured augmentations to one image with per-op coin flips
-    (albumentations-style outer p plus per-op p≈0.5 group behavior)."""
+    at the reference's per-op probabilities (`augmentation.py:11-26`,
+    `deepfakes_dataset.py:33-48`). `outer` is the Compose(p=…) coin — the
+    whole chain no-ops when it misses (strong_aug is built with p=0.9); pass
+    it in from `augment_batch` so the batch affine shares the same coin."""
     # one key per random draw: parameters and their apply-coins must be
     # independent, otherwise conditioning on the coin silently truncates the
     # parameter distribution (e.g. a shared key makes brightness==contrast
     # and the coin<p region maps to the lower half of the range)
-    keys = jax.random.split(key, 32)
-    p = cfg.prob
+    keys = jax.random.split(key, 36)
+    if outer is None:
+        outer = jax.random.uniform(keys[33]) < cfg.compose_prob
 
-    def coin(k):
-        return jax.random.uniform(k) < p
+    def coin(k, p=cfg.prob):
+        return (jax.random.uniform(k) < p) & outer
 
-    # color-op gating: independent per-op coins (CViT strong_aug applies
-    # BrightnessContrast and HSV as separate ops) or the S3D transform's
-    # OneOf([RandomBrightnessContrast, FancyPCA, HueSaturationValue], p=.4)
-    # (`deepfakes_dataset.py:44`) — group coin then a uniform 3-way pick
+    # color-op gating, three reference shapes:
+    #  * S3D: OneOf([RandomBrightnessContrast, FancyPCA, HSV], p=.4)
+    #    (`deepfakes_dataset.py:44`) — group coin, uniform 3-way pick;
+    #  * CViT strong_aug: OneOf([CLAHE, Sharpen, Emboss, BC], p=.2)
+    #    (`augmentation.py:19-24`) — uniform 4-way pick (members' default
+    #    p=.5 normalize to 1/4), HSV independent at hsv_prob;
+    #  * legacy independent coins when both groups are off.
     if cfg.color_oneof:
-        group = jax.random.uniform(keys[29]) < cfg.color_oneof_prob
+        group = (jax.random.uniform(keys[29]) < cfg.color_oneof_prob) & outer
         pick = jax.random.randint(keys[30], (), 0, 3)
         take_bc = group & (pick == 0)
         take_pca = group & (pick == 1)
         take_hsv = group & (pick == 2)
     else:
-        take_bc = coin(keys[18])
         take_pca = coin(keys[27])
-        take_hsv = coin(keys[11])
+        take_hsv = coin(keys[11], cfg.hsv_prob)
+        take_bc = coin(keys[18])
+    if cfg.sharpen_oneof and not cfg.color_oneof:
+        sgroup = (jax.random.uniform(keys[31]) < cfg.sharpen_oneof_prob) & outer
+        spick = jax.random.randint(keys[32], (), 0, 4)
+        take_clahe = sgroup & (spick == 0)
+        take_sharpen = sgroup & (spick == 1)
+        take_emboss = sgroup & (spick == 2)
+        take_bc = sgroup & (spick == 3)
+    else:
+        take_clahe = coin(keys[23])
+        take_sharpen = coin(keys[12])
+        take_emboss = coin(keys[16])
 
     if cfg.image_compression:
         # S3D order: ImageCompression runs before the geometric/color ops
@@ -343,27 +373,29 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.n
                                minval=float(cfg.compression_quality[0]),
                                maxval=float(cfg.compression_quality[1]))
         compressed = jpeg_compress(img, jnp.floor(q))
-        take = jax.random.uniform(keys[22]) < cfg.compression_prob
+        take = (jax.random.uniform(keys[22]) < cfg.compression_prob) & outer
         img = jnp.where(take[None, None, None], compressed, img)
     if cfg.rot90:
         k4 = jax.random.randint(keys[0], (), 0, 4)
-        img = jnp.where(coin(keys[1])[None, None, None],
+        img = jnp.where(coin(keys[1], cfg.rot90_prob)[None, None, None],
                         jax.lax.switch(k4, [lambda x: x,
                                             lambda x: jnp.rot90(x, 1),
                                             lambda x: jnp.rot90(x, 2),
                                             lambda x: jnp.rot90(x, 3)], img),
                         img)
     if cfg.transpose:
-        img = jnp.where(coin(keys[2])[None, None, None],
+        img = jnp.where(coin(keys[2], cfg.transpose_prob)[None, None, None],
                         jnp.swapaxes(img, 0, 1), img)
     if cfg.hflip:
-        img = jnp.where(coin(keys[3])[None, None, None], img[:, ::-1], img)
+        img = jnp.where(coin(keys[3], cfg.hflip_prob)[None, None, None],
+                        img[:, ::-1], img)
     if cfg.vflip:
-        img = jnp.where(coin(keys[4])[None, None, None], img[::-1], img)
+        img = jnp.where(coin(keys[4], cfg.vflip_prob)[None, None, None],
+                        img[::-1], img)
     if cfg.gauss_noise:
         sigma = jax.random.uniform(keys[5], (), minval=0.01, maxval=0.05)
         noise = sigma * jax.random.normal(keys[6], img.shape)
-        img = jnp.where(coin(keys[7])[None, None, None],
+        img = jnp.where(coin(keys[7], cfg.noise_prob)[None, None, None],
                         jnp.clip(img + noise, 0, 1), img)
     if cfg.gaussian_blur:
         # albumentations GaussianBlur(blur_limit=(1,3), p=.05)
@@ -372,7 +404,7 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.n
         g = jnp.asarray([0.25, 0.5, 0.25], jnp.float32)  # cv2 k=3 auto-sigma taps
         blurred = jnp.clip(_conv3x3(img, g[:, None] * g[None, :]), 0, 1)
         k3 = jax.random.bernoulli(keys[24])
-        take = (jax.random.uniform(keys[25]) < cfg.blur_prob) & k3
+        take = (jax.random.uniform(keys[25]) < cfg.blur_prob) & k3 & outer
         img = jnp.where(take[None, None, None], blurred, img)
     if cfg.fancy_pca:
         # albumentations FancyPCA(alpha=.1) (`deepfakes_dataset.py:44`
@@ -387,10 +419,10 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.n
         shifted = jnp.clip(img + delta[None, None, :], 0, 1)
         img = jnp.where(take_pca[None, None, None], shifted, img)
     if cfg.clahe:
-        # strong_aug CLAHE(clip_limit=2) sits between SSR and Sharpen
-        # (`helpers/augmentation.py:19-21`)
+        # strong_aug CLAHE(clip_limit=2) — first member of the OneOf group
+        # (`helpers/augmentation.py:19-24`)
         eq = clahe_luma(img, cfg.clahe_clip_limit)
-        img = jnp.where(coin(keys[23])[None, None, None], eq, img)
+        img = jnp.where(take_clahe[None, None, None], eq, img)
     if cfg.sharpen:
         # albumentations Sharpen: blend with a laplacian-sharpened image
         alpha = jax.random.uniform(keys[8], (), minval=0.2, maxval=0.5)
@@ -400,14 +432,14 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.n
             jnp.array([[0, 0, 0], [0, 1 - alpha, 0], [0, 0, 0]], jnp.float32) \
             * jnp.float32(1.0)
         sharpened = jnp.clip(_conv3x3(img, k), 0, 1)
-        img = jnp.where(coin(keys[12])[None, None, None], sharpened, img)
+        img = jnp.where(take_sharpen[None, None, None], sharpened, img)
     if cfg.emboss:
         alpha = jax.random.uniform(keys[14], (), minval=0.2, maxval=0.5)
         strength = jax.random.uniform(keys[15], (), minval=0.2, maxval=0.7)
         emb = jnp.array([[-1 - strength, 0, 0], [0, 1, 0], [0, 0, 1 + strength]],
                         jnp.float32)
         embossed = jnp.clip(_conv3x3(img, emb) * alpha + img * (1 - alpha), 0, 1)
-        img = jnp.where(coin(keys[16])[None, None, None], embossed, img)
+        img = jnp.where(take_emboss[None, None, None], embossed, img)
     if cfg.brightness_contrast:
         a = jax.random.uniform(keys[9], (), minval=-0.2, maxval=0.2)
         b = jax.random.uniform(keys[17], (), minval=-0.2, maxval=0.2)
@@ -427,7 +459,7 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig) -> jnp.n
         # ToGray(p=.2) as a *random* aug (`deepfakes_dataset.py:45`);
         # distinct from the deterministic gray-plan conversion below
         gray = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
-        take = jax.random.uniform(keys[28]) < cfg.to_gray_prob
+        take = (jax.random.uniform(keys[28]) < cfg.to_gray_prob) & outer
         img = jnp.where(take[None, None, None],
                         jnp.broadcast_to(gray[..., None], img.shape), img)
     if cfg.to_gray:
@@ -447,21 +479,31 @@ def augment_batch(key: jax.Array, batch_u8: jnp.ndarray,
     shape = imgs.shape
     flat = imgs.reshape(-1, *shape[-3:])
     n = flat.shape[0]
-    key, gk = jax.random.split(key)
+    key, gk, ok = jax.random.split(key, 3)
     keys = jax.random.split(key, n)
-    out = jax.vmap(lambda k, im: augment_image(k, im, cfg))(keys, flat)
+    # one Compose(p=…) coin per image, shared between the per-image op chain
+    # and the batch affine below (both sit inside the reference's Compose)
+    outer = jax.random.uniform(ok, (n,)) < cfg.compose_prob
+    out = jax.vmap(lambda k, im, oc: augment_image(k, im, cfg, outer=oc))(
+        keys, flat, outer)
 
     if cfg.rotation_deg > 0:
-        # affine (rotate/scale/shift) with per-batch params as MXU matmuls;
-        # per-image coin decides who gets warped (see geometry note above)
+        # ShiftScaleRotate with per-batch params as MXU matmuls; per-image
+        # coin (affine_prob, ANDed with the Compose coin) decides who gets
+        # warped (see geometry note above). Limits are configured —
+        # strong_aug uses albumentations' defaults (.0625/.1), the S3D
+        # transform .1/.2 (`deepfakes_dataset.py:46`). Approximation: params
+        # are shared per batch (per-image coins), the price of shared
+        # interpolation matrices.
         k1, k2, k3, k4 = jax.random.split(gk, 4)
         ang = jax.random.uniform(k1, (), minval=-1.0, maxval=1.0) \
             * cfg.rotation_deg * jnp.pi / 180.0
-        scale = jax.random.uniform(k2, (), minval=0.9, maxval=1.1)
-        shift = jax.random.uniform(k3, (2,), minval=-0.0625, maxval=0.0625) \
-            * shape[-3]
+        scale = jax.random.uniform(k2, (), minval=1.0 - cfg.scale_limit,
+                                   maxval=1.0 + cfg.scale_limit)
+        shift = jax.random.uniform(k3, (2,), minval=-cfg.shift_limit,
+                                   maxval=cfg.shift_limit) * shape[-3]
         warped = jnp.clip(batch_affine_matmul(out, ang, scale,
                                               shift[0], shift[1]), 0, 1)
-        apply = jax.random.uniform(k4, (n,)) < cfg.prob
+        apply = (jax.random.uniform(k4, (n,)) < cfg.affine_prob) & outer
         out = jnp.where(apply[:, None, None, None], warped, out)
     return out.reshape(shape)

@@ -51,15 +51,26 @@ def evaluate_prediction_csv(csv_path: str, metadata_path: str,
         truth = 1 if str(entry["label"]).upper() == "FAKE" else 0
         rows.append((truth, prob))
     if not rows:
-        return {"accuracy": float("nan"), "auc": float("nan"), "count": 0}
+        return {"accuracy": float("nan"), "auc": float("nan"), "count": 0,
+                "note": "no scored rows joined the metadata"}
     y = np.array([r[0] for r in rows])
     p = np.array([r[1] for r in rows])
     acc = accuracy(y, (p >= 0.5).astype(int))
+    out = {"accuracy": acc, "count": len(rows)}
+    if len(np.unique(y)) < 2:
+        # single-class y_true: sklearn's roc_curve warns and AUC is
+        # meaningless — report NaN + an explicit note instead (mirrors
+        # s3d_eval.py's all-skipped handling)
+        out["auc"] = float("nan")
+        out["note"] = ("AUC undefined: only one class present after the "
+                       "metadata join/0.5-drop")
+        return out
     try:
         _, _, _, auc = roc_auc(y, p)
     except ValueError:
         auc = float("nan")
-    return {"accuracy": acc, "auc": float(auc), "count": len(rows)}
+    out["auc"] = float(auc)
+    return out
 
 
 def legacy_int_accuracy(csv_path: str, metadata_path: str) -> float:

@@ -68,6 +68,12 @@ class VideoScorer:
             self.variables = jax.device_put(variables)
         self._detector = detector
         self._reader = reader
+        # lazy construction guard: score_videos* fan gather_crops across a
+        # thread pool, and an unsynchronized check-then-set would let several
+        # threads race into building BlazeFace — launching concurrent cold
+        # detector compiles, which the relay requires to be serialized
+        import threading
+        self._lazy_lock = threading.Lock()
         self.capacity = self.cfg.infer.batch_crops
         legacy = getattr(model, "pos_mode", "legacy") == "legacy"
 
@@ -102,24 +108,29 @@ class VideoScorer:
         `detect/mtcnn.py` (supply converted facenet_pytorch weights), and
         "face_recognition" uses the external lib when installed."""
         if self._detector is None:
-            kind = self.cfg.infer.detector
-            if kind == "mtcnn":
-                from fac_fake_tpu.detect.mtcnn import MTCNN
-                self._detector = MTCNN(
-                    thresholds=self.cfg.infer.mtcnn_thresholds)
-            elif kind == "face_recognition":
-                import face_recognition  # noqa: F401 — external dlib lib
-                self._detector = kind
-            else:
-                from fac_fake_tpu.detect.blazeface import BlazeFace
-                self._detector = BlazeFace.from_reference_assets()
+            with self._lazy_lock:
+                if self._detector is not None:
+                    return self._detector
+                kind = self.cfg.infer.detector
+                if kind == "mtcnn":
+                    from fac_fake_tpu.detect.mtcnn import MTCNN
+                    self._detector = MTCNN(
+                        thresholds=self.cfg.infer.mtcnn_thresholds)
+                elif kind == "face_recognition":
+                    import face_recognition  # noqa: F401 — external dlib lib
+                    self._detector = kind
+                else:
+                    from fac_fake_tpu.detect.blazeface import BlazeFace
+                    self._detector = BlazeFace.from_reference_assets()
         return self._detector
 
     @property
     def reader(self):
         if self._reader is None:
-            from fac_fake_tpu.data.video import VideoReader
-            self._reader = VideoReader()
+            with self._lazy_lock:
+                if self._reader is None:
+                    from fac_fake_tpu.data.video import VideoReader
+                    self._reader = VideoReader()
         return self._reader
 
     # --- crop gathering ------------------------------------------------

@@ -72,7 +72,11 @@ def restore_variables(path: str, variables: Optional[dict] = None) -> dict:
     """
     path = os.path.abspath(path)
     inner = os.path.join(path, "default")
-    if not os.path.isdir(os.path.join(path, "_CHECKPOINT_METADATA")) \
+    # _CHECKPOINT_METADATA is a FILE at the root of a composite checkpoint;
+    # only descend into `default/` when the metadata marker is absent (a
+    # bare CheckpointManager step dir), so a pytree that itself contains a
+    # 'default' collection is not mis-resolved
+    if not os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA")) \
             and os.path.isdir(inner):
         path = inner
     with ocp.StandardCheckpointer() as ckptr:

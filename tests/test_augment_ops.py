@@ -156,7 +156,8 @@ def test_fancy_pca_matches_reference_algorithm():
     c = flat - flat.mean(0)
     evals, evecs = np.linalg.eigh(c.T @ c / flat.shape[0])
 
-    cfg = AugmentConfig(enabled=True, prob=1.0, fancy_pca=True,
+    cfg = AugmentConfig(enabled=True, prob=1.0, compose_prob=1.0,
+                        fancy_pca=True, sharpen_oneof=False,
                         hflip=False, vflip=False, rot90=False, transpose=False,
                         gauss_noise=False, sharpen=False, emboss=False,
                         brightness_contrast=False, hue_saturation=False,
@@ -180,7 +181,8 @@ def test_to_gray_prob_is_random():
     from fac_fake_tpu.core.config import AugmentConfig
     rng = np.random.default_rng(8)
     img = jnp.asarray(_face_like(rng).astype(np.float32) / 255.0)
-    cfg = AugmentConfig(enabled=True, prob=0.0, to_gray_prob=0.5,
+    cfg = AugmentConfig(enabled=True, prob=0.0, compose_prob=1.0,
+                        to_gray_prob=0.5, sharpen_oneof=False,
                         clahe=False, rotation_deg=0.0)
     grays = 0
     for i in range(20):
@@ -197,8 +199,8 @@ def test_color_oneof_mutual_exclusion():
     from fac_fake_tpu.core.config import AugmentConfig
     rng = np.random.default_rng(9)
     img = jnp.asarray(_face_like(rng).astype(np.float32) / 255.0)
-    base = AugmentConfig(enabled=True, prob=1.0, color_oneof=True,
-                         fancy_pca=True,
+    base = AugmentConfig(enabled=True, prob=1.0, compose_prob=1.0,
+                         color_oneof=True, fancy_pca=True,
                          hflip=False, vflip=False, rot90=False,
                          transpose=False, gauss_noise=False, sharpen=False,
                          emboss=False, clahe=False, rotation_deg=0.0,
@@ -211,3 +213,46 @@ def test_color_oneof_mutual_exclusion():
             fired += 1
     # ~Binomial(30, .4): loose 3-sigma band
     assert 4 <= fired <= 21, fired
+
+
+def test_sharpen_oneof_group_rate():
+    """strong_aug's OneOf([CLAHE, Sharpen, Emboss, BrightnessContrast], p=.2)
+    (`augmentation.py:19-24`): the group fires ~20% of draws — each member
+    effectively ~5%, NOT an independent coin per op (which at the old
+    cfg.prob=.5 fired ~94% of draws and applied CLAHE 10× too often)."""
+    from fac_fake_tpu.data.augment import augment_image
+    from fac_fake_tpu.core.config import AugmentConfig
+    rng = np.random.default_rng(10)
+    img = jnp.asarray(_face_like(rng).astype(np.float32) / 255.0)
+    cfg = AugmentConfig(enabled=True, compose_prob=1.0,
+                        sharpen_oneof=True, clahe=True, sharpen=True,
+                        emboss=True, brightness_contrast=True,
+                        hflip=False, vflip=False, rot90=False, transpose=False,
+                        gauss_noise=False, hue_saturation=False,
+                        color_jitter=False, rotation_deg=0.0)
+    fired = 0
+    for i in range(60):
+        out = np.asarray(augment_image(jax.random.key(500 + i), img, cfg))
+        if not np.allclose(out, np.asarray(img), atol=1e-6):
+            fired += 1
+    # ~Binomial(60, .2): loose band — and far below the 4-independent-coin
+    # rate (~56/60)
+    assert 4 <= fired <= 24, fired
+
+
+def test_compose_prob_gates_everything():
+    """The outer Compose(p=…) coin (strong_aug is built with p=0.9,
+    `augmentation.py:49`): at compose_prob=0 the chain is an exact no-op
+    even with every per-op prob forced to 1."""
+    from fac_fake_tpu.data.augment import augment_batch
+    from fac_fake_tpu.core.config import AugmentConfig
+    rng = np.random.default_rng(11)
+    batch = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    cfg = AugmentConfig(enabled=True, compose_prob=0.0, prob=1.0,
+                        hflip_prob=1.0, vflip_prob=1.0, rot90_prob=1.0,
+                        transpose_prob=1.0, noise_prob=1.0, hsv_prob=1.0,
+                        affine_prob=1.0, to_gray_prob=1.0,
+                        image_compression=True, compression_prob=1.0)
+    out = np.asarray(augment_batch(jax.random.key(0), jnp.asarray(batch), cfg))
+    np.testing.assert_allclose(out, batch.astype(np.float32) / 255.0,
+                               atol=1e-6)

@@ -194,6 +194,27 @@ def test_prediction_csv_metrics(tmp_path):
     assert out["accuracy"] == 1.0 and out["auc"] == 1.0
 
 
+def test_prediction_csv_metrics_single_class(tmp_path):
+    """Single-class joins (e.g. an all-FAKE directory) must report NaN AUC
+    with an explicit note, not sklearn's warning + meaningless value."""
+    import warnings
+
+    import pandas as pd
+    pd.DataFrame({"filename": ["a.mp4", "b.mp4"],
+                  "label": [0.9, 0.8]}).to_csv(tmp_path / "p.csv",
+                                               index=False)
+    meta = {"a.mp4": {"label": "FAKE"}, "b.mp4": {"label": "FAKE"}}
+    with open(tmp_path / "m.json", "w") as f:
+        json.dump(meta, f)
+    from fac_fake_tpu.evaluate.metrics import evaluate_prediction_csv
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")   # any sklearn warning fails the test
+        out = evaluate_prediction_csv(str(tmp_path / "p.csv"),
+                                      str(tmp_path / "m.json"))
+    assert out["count"] == 2 and out["accuracy"] == 1.0
+    assert np.isnan(out["auc"]) and "one class" in out["note"]
+
+
 def test_gradcam_smoke():
     import jax
     import jax.numpy as jnp

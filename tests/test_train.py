@@ -142,9 +142,11 @@ def test_augment_param_coin_independence():
     from fac_fake_tpu.core.config import AugmentConfig
     from fac_fake_tpu.data.augment import augment_image
 
-    cfg = AugmentConfig(enabled=True, prob=0.5, rot90=False, transpose=False,
+    cfg = AugmentConfig(enabled=True, prob=0.5, compose_prob=1.0,
+                        rot90=False, transpose=False,
                         hflip=False, vflip=False, gauss_noise=False,
-                        sharpen=False, emboss=False, brightness_contrast=True,
+                        sharpen=False, emboss=False, clahe=False,
+                        sharpen_oneof=False, brightness_contrast=True,
                         hue_saturation=False, color_jitter=False,
                         rotation_deg=0)
     img = jnp.full((8, 8, 3), 0.5, jnp.float32)  # contrast term vanishes
