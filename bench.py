@@ -11,11 +11,16 @@ transfers stay off the timed path; see .claude/skills/verify/SKILL.md).
 Secondary numbers ride in the same JSON line under "secondary":
   * flagship_crops_per_sec — the cvit_repbn8 flagship (the reference's best
     line, `4090RepBn8_*` CSVs);
-  * pallas_normalize_crops_per_sec — same path with the fused Pallas
-    uint8→normalized pass (ops/preprocess.py) instead of plain XLA;
-  * video_p50_s / video_p90_s — warm end-to-end per-video latency over the
-    8 reference sample videos (BASELINE.md secondary metric; skipped when
-    the reference isn't mounted).
+  * video_p50_s / video_p90_s / videos_per_min — warm end-to-end per-video
+    latency over the 8 reference sample videos (BASELINE.md secondary
+    metric; skipped when the reference isn't mounted);
+  * videos_per_min_batched — the production throughput path
+    (score_videos_batched: V-slot packed forwards, pipelined gathers);
+  * train_img_per_sec — device-cached CViT training (batch 256, bf16,
+    full strong_aug), the Trainer's scanned-epoch path.
+
+(The round-2 pallas_normalize row is gone with the kernel: it measured ~9%
+slower than XLA's fusion and was deleted per the use-or-lose rule.)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "secondary"}.
 """
@@ -34,7 +39,7 @@ BASELINE_TARGET = 2000.0  # crops/sec/chip (BASELINE.md north star)
 BATCH = 2048
 
 
-def _throughput(model_name: str, use_pallas: bool = False) -> float:
+def _throughput(model_name: str) -> float:
     """crops/s for one folded bf16 model on device-resident uint8 crops."""
     from fac_fake_tpu.compat.fold import fold_cvit
     from fac_fake_tpu.core.config import ModelConfig
@@ -49,7 +54,7 @@ def _throughput(model_name: str, use_pallas: bool = False) -> float:
 
     @jax.jit
     def step(v, crops_u8, carry):
-        x = normalize_imagenet(crops_u8, use_pallas=use_pallas)
+        x = normalize_imagenet(crops_u8)
         logits = model.apply(v, x, train=False, pos_indices=pos_idx)
         # chain through `carry` (scaled so it can't be constant-folded
         # away): each step's input depends on the previous step's output,
@@ -102,9 +107,52 @@ def _video_latency():
     scorer.score_videos(paths, workers)             # timed, warm
     wall = time.perf_counter() - t0
     stats = scorer.latency_stats()
-    return {"video_p50_s": round(stats["p50_s"], 3),
-            "video_p90_s": round(stats["p90_s"], 3),
-            "videos_per_min": round(60.0 * len(paths) / wall, 1)}
+    out = {"video_p50_s": round(stats["p50_s"], 3),
+           "video_p90_s": round(stats["p90_s"], 3),
+           "videos_per_min": round(60.0 * len(paths) / wall, 1)}
+
+    # production throughput path: packed V-slot forwards, pipelined gathers
+    scorer.score_videos_batched(paths, workers)     # warm the packed graphs
+    t0 = time.perf_counter()
+    scorer.score_videos_batched(paths, workers)
+    wall_b = time.perf_counter() - t0
+    out["videos_per_min_batched"] = round(60.0 * len(paths) / wall_b, 1)
+    return out
+
+
+def _train_throughput() -> float:
+    """Device-cached CViT training img/s: batch 256, bf16 compute, full
+    strong_aug — the Trainer's scanned-epoch path (one jit per epoch,
+    zero steady-state host traffic). `cvit_train.py:129-147` is the
+    reference loop this replaces."""
+    from fac_fake_tpu.core.config import Config
+    from fac_fake_tpu.models import build_model
+    from fac_fake_tpu.train.trainer import Trainer
+
+    batch, steps = 256, 12
+    cfg = Config()
+    cfg.model.dtype = "bfloat16"
+    # the legacy (32,1,dim) pos-embedding caps batch at 32; large-batch
+    # training uses the per-position mode
+    cfg.model.pos_embedding_mode = "patch"
+    cfg.train.log_every = 0
+
+    trainer = Trainer(build_model(cfg.model), cfg)
+    state = trainer.shard_state(trainer.init_state())
+    rng = jax.random.key(0)
+    gen = np.random.default_rng(0)
+    n = batch * steps
+    cache = trainer.cache_data(
+        gen.integers(0, 255, (n, 224, 224, 3), dtype=np.uint8),
+        gen.integers(0, 2, (n,)).astype(np.int32), batch)
+
+    state, rng, _ = trainer._run_epoch(state, cache, rng, train=True)  # compile
+    t0 = time.perf_counter()
+    state, rng, _ = trainer._run_epoch(state, cache, rng, train=True)
+    # _run_epoch ends with a device_get of the accumulated metrics, which
+    # through the relay forces real completion of every step
+    dt = time.perf_counter() - t0
+    return n / dt
 
 
 def main():
@@ -115,10 +163,9 @@ def main():
     except Exception as e:          # never lose the primary metric
         secondary["flagship_error"] = repr(e)[:120]
     try:
-        secondary["pallas_normalize_crops_per_sec"] = round(
-            _throughput("cvit", use_pallas=True), 1)
+        secondary["train_img_per_sec"] = round(_train_throughput(), 1)
     except Exception as e:
-        secondary["pallas_error"] = repr(e)[:120]
+        secondary["train_error"] = repr(e)[:120]
     try:
         secondary.update(_video_latency())
     except Exception as e:

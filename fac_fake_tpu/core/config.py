@@ -265,9 +265,6 @@ class InferConfig:
     parity_chunking: bool = True
     batch_crops: int = 96          # padded crop capacity per video (3 × 32)
     no_face_score: float = 0.5
-    # fused Pallas uint8→normalized-f32 pass instead of plain XLA ops
-    # (ops/preprocess.py; bench.py measures the delta — TPU only)
-    use_pallas_normalize: bool = False
 
 
 @dataclass

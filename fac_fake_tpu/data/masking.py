@@ -52,9 +52,25 @@ def landmarks_from_mtcnn(detector, img_rgb: np.ndarray) -> Optional[np.ndarray]:
 def interpolate_68_from_5(lm5: np.ndarray, h: int, w: int) -> np.ndarray:
     """Synthesize the 68-point entries the region geometry consumes (eye
     corners/lids 36-47, mouth 48/50/52/54/57) from 5-point landmarks.
-    face_alignment is not installed in this environment; offsets are
-    face-size-proportional (augmentation-level fidelity — the region
-    *geometry* downstream is exact, `get_masked_face.py:24-43`)."""
+
+    EXPERIMENTAL SUBSTITUTE: the reference derives these from a
+    face_alignment 2D-FAN network (`get_masked_face.py:21-43`), which is
+    not installable in this environment (zero egress). The synthesized
+    offsets follow classical facial-proportion canons (Farkas-style
+    anthropometry) on a face-filling crop:
+      * eye half-width ``ew = 0.06·w`` → palpebral fissure ≈ 0.12 of the
+        crop ≈ 1/5 of the face when the face spans ~60-70 % of the crop
+        (the artists' "rule of fifths"; Farkas: fissure ≈ 31 mm vs
+        bizygomatic ≈ 137 mm ≈ 0.22);
+      * eye half-height ``eh = 0.025·h`` → fissure height/length ≈ 0.42,
+        within the 1/3-1/2 canonical band;
+      * lip offsets ``0.04·h`` ≈ half the canonical mouth height
+        (~1/8 of lower-face height).
+    These place the *masked rectangles* at augmentation-level fidelity —
+    the region geometry downstream is exact given landmarks — but are NOT a
+    landmark-accuracy claim; if face_alignment appears, swap the source and
+    keep `mask_regions_68` unchanged. The variant stays opt-in via
+    ``data.mask_method = black68|noise68`` (PARITY.md S7 row)."""
     out = np.zeros((68, 2), np.float32)
     le, re, nose, ml, mr = lm5
     ew, eh = 0.06 * w, 0.025 * h

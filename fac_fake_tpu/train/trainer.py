@@ -360,6 +360,25 @@ class Trainer:
         if cfg.tensorboard_dir:
             from tensorboardX import SummaryWriter
             writer = SummaryWriter(cfg.tensorboard_dir)
+            # model-graph dump (the reference's `add_graph`,
+            # `S3D-train.py:209-210`): under JAX the compiler-facing graph
+            # is the lowered StableHLO — write it next to the scalars (and
+            # as a text summary) instead of a torch graph proto
+            try:
+                variables = {"params": state.params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                lowered = jax.jit(
+                    lambda v, x: self.model.apply(v, x, train=False)).lower(
+                        variables, jnp.zeros(self.input_shape, jnp.float32))
+                hlo = lowered.as_text()
+                with open(os.path.join(cfg.tensorboard_dir,
+                                       "model_graph.stablehlo.txt"), "w") as f:
+                    f.write(hlo)
+                writer.add_text("model/stablehlo",
+                                "```\n" + hlo[:20000] + "\n```", 0)
+            except Exception as e:   # graph dump is best-effort, never fatal
+                print(f"model-graph dump skipped: {e!r}")
 
         t0 = time.time()
         for epoch in range(start_epoch, cfg.epochs):

@@ -157,6 +157,82 @@ def test_batched_video_scoring_matches_per_video():
     assert batched[2] == 0.5 and batched[3] == 0.5
 
 
+def test_gather_stops_decoding_at_crop_cap():
+    """The stream must stop once 29 crops are stored (frames past the cap
+    can't affect the score — the reference discards them too,
+    `cvit_prediction.py:191-197`); decoding all ~90 sampled frames was the
+    round-2 p90 tail."""
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.core.config import Config
+    from fac_fake_tpu.infer.predictor import VideoScorer
+
+    emitted = []
+
+    class FakeReader:
+        def frame_count(self, path):
+            return 907                      # samples 90 indices
+
+        def stream_frames_at_indices(self, path, idxs, chunk=16):
+            for lo in range(0, len(idxs), chunk):
+                group = idxs[lo:lo + chunk]
+                emitted.extend(group)
+                yield np.zeros((len(group), 64, 64, 3), np.uint8), group
+
+    class FakeDetector:                      # one face per frame
+        def detect(self, frame):
+            return ([(5.0, 5.0, 60.0, 60.0)], [0.9], None, [True])
+
+    model = _tiny_cvit()
+    variables = model.init(jax.random.key(6), jnp.zeros((1, 224, 224, 3)))
+    cfg = Config()
+    cfg.infer.detector = "mtcnn"
+    scorer = VideoScorer(model, variables, cfg,
+                         detector=FakeDetector(), reader=FakeReader())
+    crops = scorer.gather_crops("whatever.mp4")
+    assert crops.shape[0] == 29
+    # 29 crops need 29 frames → exactly 2 chunks of 16, not all 90 samples
+    assert len(emitted) == 32, len(emitted)
+
+
+def test_batched_latency_is_per_video():
+    """latency_stats from the batched path must report per-video wall-clock
+    (own gather start → score available), NOT time since the batch started:
+    late-gathered videos get small latencies even in a long batch."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.core.config import Config
+    from fac_fake_tpu.infer.predictor import VideoScorer
+
+    model = _tiny_cvit()
+    variables = model.init(jax.random.key(7), jnp.zeros((1, 224, 224, 3)))
+    scorer = VideoScorer(model, variables, Config())
+    crops = np.random.default_rng(8).integers(
+        0, 255, (4, 224, 224, 3), dtype=np.uint8)
+
+    def slow_gather(path):
+        time.sleep(0.1)
+        return crops
+
+    def instant_score(chunk, results):   # timing bookkeeping is under test,
+        for i, _ in chunk:               # not the forward (slow on 1 CPU core)
+            results[i] = 0.7
+
+    scorer.gather_crops = slow_gather
+    scorer._score_packed = instant_score
+    scorer.score_videos_batched([str(i) for i in range(10)], num_workers=1)
+    lats = scorer.video_latencies
+    assert len(lats) == 10
+    # serial gathers take ~1 s total; batch-start timing would give every
+    # video ≥ ~0.8 s, per-video timing gives the last-flushed ones ~0.1 s
+    assert min(lats) < 0.5, lats
+    # and the first-flushed bucket's videos waited only for their bucket
+    # (~0.8 s), not for the whole batch
+    assert max(lats) < 0.95, lats
+
+
 def test_mesh_sharded_scoring_matches_single_device():
     """Multi-chip serving: a VideoScorer over an 8-device mesh (crops
     sharded on 'data', weights replicated) produces the same scores as the

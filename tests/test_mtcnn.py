@@ -243,3 +243,94 @@ def test_landmarks_api():
     lm = det.landmarks(img)
     if lm is not None:  # random weights may or may not clear NMS
         assert lm.shape == (5, 2)
+
+
+# --- approximation bounds (mtcnn.py module header) ---------------------------
+#
+# The two documented divergences from facenet_pytorch — bilinear (not
+# INTER_AREA) pyramid resamples, and edge-clamped (not zero-padded) stage
+# patches — get NUMERIC bounds here, measured on a real frame through the
+# real nets (seeded weights: the bound quantifies how the input delta
+# propagates through the convs, which doesn't depend on training).
+# Measured 2026-08-17 (PARITY.md "MTCNN cascade" row): P-net prob delta
+# mean ≤ 0.0032 / max ≤ 0.048 across the 4 largest pyramid scales;
+# top-candidate box IoU = 1.0 at the two largest scales (where real faces
+# are detected); patches agree to ≤ 5e-6 wherever the box is in-frame.
+
+def test_pyramid_interpolation_divergence_bounded():
+    import cv2
+    import jax.numpy as jnp
+
+    from conftest import has_reference
+    from fac_fake_tpu.ops.resize import resize_bilinear
+
+    if not has_reference():
+        pytest.skip("reference sample video not mounted")
+    sample = "/root/reference/CViT-main/sample__prediction_data/aajsqyyjni.mp4"
+    cap = cv2.VideoCapture(sample)
+    ok, fr = cap.read()
+    cap.release()
+    assert ok
+    img = cv2.resize(cv2.cvtColor(fr, cv2.COLOR_BGR2RGB), (480, 270),
+                     interpolation=cv2.INTER_AREA)
+    h, w = img.shape[:2]
+    m = MTCNN(seed=0)
+    imgf = img.astype(np.float32)
+
+    for si, s in enumerate(pyramid_scales(h, w)[:4]):
+        hs, ws = int(h * s + 1), int(w * s + 1)
+        ours = np.asarray(resize_bilinear(jnp.asarray(imgf)[None],
+                                          (hs, ws)))[0]
+        area = cv2.resize(img, (ws, hs),
+                          interpolation=cv2.INTER_AREA).astype(np.float32)
+        no = jnp.asarray((ours - 127.5) * 0.0078125)[None]
+        na = jnp.asarray((area - 127.5) * 0.0078125)[None]
+        reg1, p1 = m.pnet.apply(m.variables["pnet"], no)
+        reg2, p2 = m.pnet.apply(m.variables["pnet"], na)
+        d = np.abs(np.asarray(p1) - np.asarray(p2))
+        assert d.mean() < 0.01 and d.max() < 0.10, (s, d.mean(), d.max())
+
+        if si < 2:   # the scales that carry real detections
+            b1 = np.asarray(decode_pnet_boxes(p1[0, :, :, 1], reg1[0],
+                                              s, 0.0, 16)[0])[0]
+            b2 = np.asarray(decode_pnet_boxes(p2[0, :, :, 1], reg2[0],
+                                              s, 0.0, 16)[0])[0]
+            ix = max(0.0, min(b1[2], b2[2]) - max(b1[0], b2[0]) + 1)
+            iy = max(0.0, min(b1[3], b2[3]) - max(b1[1], b2[1]) + 1)
+            a1 = (b1[2] - b1[0] + 1) * (b1[3] - b1[1] + 1)
+            a2 = (b2[2] - b2[0] + 1) * (b2[3] - b2[1] + 1)
+            iou = ix * iy / (a1 + a2 - ix * iy)
+            assert iou >= 0.8, (s, iou, b1, b2)
+
+
+def test_patch_extraction_matches_zero_pad_in_frame():
+    """Edge-clamp vs facenet_pytorch's zero-pad: identical wherever the box
+    is inside the frame; divergence is confined to out-of-frame rows/cols
+    and bounded by the normalized intensity range."""
+    import cv2
+    import jax.numpy as jnp
+
+    from fac_fake_tpu.detect.mtcnn import _extract_patches
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 64, 3)).astype(np.float32)
+    boxes = jnp.asarray([[-10.0, -10.0, 30.0, 30.0],    # 25% out of frame
+                         [10.0, 10.0, 50.0, 50.0]])     # fully in frame
+    ours = np.asarray(_extract_patches(jnp.asarray(img), boxes, 24))
+
+    def zero_pad_ref(b):
+        x1, y1, x2, y2 = (int(v) for v in b)
+        pad = 20
+        big = np.zeros((64 + 2 * pad, 64 + 2 * pad, 3), np.float32)
+        big[pad:pad + 64, pad:pad + 64] = img
+        crop = big[y1 + pad:y2 + 1 + pad, x1 + pad:x2 + 1 + pad]
+        return (cv2.resize(crop, (24, 24), interpolation=cv2.INTER_LINEAR)
+                - 127.5) * 0.0078125
+
+    # in-frame box: bit-level agreement with the zero-pad reference
+    np.testing.assert_allclose(ours[1], zero_pad_ref(boxes[1]), atol=1e-4)
+    d = np.abs(ours[0] - zero_pad_ref(boxes[0]))
+    # the in-frame interior of a partially-out box still agrees...
+    assert d[10:, 10:].max() < 1e-4, d[10:, 10:].max()
+    # ...and the clamped region stays within the normalized intensity range
+    assert d.max() <= 255 * 0.0078125, d.max()

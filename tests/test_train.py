@@ -313,3 +313,21 @@ def test_tensor_parallel_training_on_mesh():
     out = trainer.fit(lambda e: iter(batches), state=state)
     h = out["history"]
     assert h["train_loss"][-1] < h["train_loss"][0]
+
+
+def test_tensorboard_scalars_and_graph_dump(tmp_path):
+    """With tensorboard_dir set, fit() writes scalar events AND the model
+    graph as lowered StableHLO (the JAX analogue of the reference's
+    `add_graph`, S3D-train.py:209-210)."""
+    import os
+
+    from fac_fake_tpu.train.trainer import Trainer
+
+    cfg = _small_cfg(epochs=1)
+    cfg.train.tensorboard_dir = str(tmp_path / "tb")
+    trainer = Trainer(_tiny_model(), cfg, input_shape=(1, 32, 32, 3))
+    trainer.fit(lambda e: iter(synthetic_batches(2, 8, image_size=32)))
+    tb = tmp_path / "tb"
+    assert any(f.startswith("events") for f in os.listdir(tb))
+    hlo = (tb / "model_graph.stablehlo.txt").read_text()
+    assert "stablehlo" in hlo or "func.func" in hlo, hlo[:200]
