@@ -138,6 +138,118 @@ def _conv3x3(img, kernel):
     return out[0]
 
 
+def _conv3x3_per_image(x: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) × per-image (B, 3, 3) kernels → depthwise 3×3 conv (same
+    kernel on every channel), zero padding. Expressed as 9 weighted shifted
+    adds — per-image kernels would otherwise force a grouped conv with B·C
+    groups, which XLA lowers terribly; this form fuses into one VPU pass."""
+    h, w = x.shape[1], x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = jnp.zeros_like(x)
+    for dy in range(3):
+        for dx in range(3):
+            out = out + kern[:, dy, dx, None, None, None] * \
+                xp[:, dy:dy + h, dx:dx + w, :]
+    return out
+
+
+_IDENT3 = jnp.asarray([[0, 0, 0], [0, 1, 0], [0, 0, 0]], jnp.float32)
+_GAUSS3 = (lambda g: g[:, None] * g[None, :])(
+    jnp.asarray([0.25, 0.5, 0.25], jnp.float32))  # cv2 k=3 auto-sigma taps
+
+
+def _sharpen_kernel(alpha, lightness):
+    """albumentations Sharpen: blend of the lightness-weighted laplacian and
+    identity — one 3×3 kernel (used by both the per-image reference chain and
+    the batched fused-conv pass; broadcast over trailing () or (B,) params)."""
+    lap = jnp.asarray([[-1, -1, -1], [-1, 8, -1], [-1, -1, -1]], jnp.float32)
+    a = alpha[..., None, None] if jnp.ndim(alpha) else alpha
+    li = lightness[..., None, None] if jnp.ndim(lightness) else lightness
+    return a * (lap + li * _IDENT3) + (1.0 - a) * _IDENT3
+
+
+def _emboss_kernel(alpha, strength):
+    """albumentations Emboss as a single kernel: alpha·emboss + (1−alpha)·I."""
+    a = alpha[..., None, None] if jnp.ndim(alpha) else alpha
+    s = strength[..., None, None] if jnp.ndim(strength) else strength
+    base = jnp.asarray([[-1, 0, 0], [0, 1, 0], [0, 0, 1]], jnp.float32)
+    sgn = jnp.asarray([[-1, 0, 0], [0, 0, 0], [0, 0, 1]], jnp.float32)
+    return a * (base + s * sgn) + (1.0 - a) * _IDENT3
+
+
+# --- dihedral group (rot90 × transpose × flips in ONE pass) -------------------
+#
+# RandomRotate90/Transpose/HorizontalFlip/VerticalFlip are all elements of the
+# dihedral group D4, so their composition is again one of 8 square symmetries:
+# four sequential where-passes (each reading+writing the whole batch) collapse
+# into a single 8-way select whose operands are *views* of the input — XLA
+# fuses the reverses/transposes into the select's operand indexing, one pass.
+# Elements are indexed (swap, flip_y, flip_x) → s·4 + fy·2 + fx, where the
+# transform applies transpose first, then row flip, then column flip.
+
+def _dihedral_cayley() -> np.ndarray:
+    """CAYLEY[a, b] = index of (a ∘ b) — apply b first, then a. Built
+    numerically on a probe grid so there is no sign-convention algebra to get
+    wrong."""
+    probe = np.arange(16).reshape(4, 4)
+
+    def apply(e, m):
+        s, fy, fx = e >> 2 & 1, e >> 1 & 1, e & 1
+        if s:
+            m = m.T
+        if fy:
+            m = m[::-1]
+        if fx:
+            m = m[:, ::-1]
+        return m
+
+    table = np.zeros((8, 8), np.int32)
+    for a in range(8):
+        for b in range(8):
+            target = apply(a, apply(b, probe))
+            matches = [c for c in range(8)
+                       if np.array_equal(apply(c, probe), target)]
+            assert len(matches) == 1
+            table[a, b] = matches[0]
+    return table
+
+
+_CAYLEY = _dihedral_cayley()
+# np.rot90(m, k) as an element index: rot90¹ = flip_y ∘ transpose, etc.
+_ROT90_ELEM = np.asarray([0, 6, 3, 5], np.int32)
+for _k in range(4):  # self-check against numpy's convention
+    _p = np.arange(16).reshape(4, 4)
+    _e = int(_ROT90_ELEM[_k])
+    _m = _p.T if _e & 4 else _p
+    _m = _m[::-1] if _e & 2 else _m
+    _m = _m[:, ::-1] if _e & 1 else _m
+    assert np.array_equal(_m, np.rot90(_p, _k)), _k
+del _k, _p, _e, _m
+
+
+def _apply_dihedral(imgs: jnp.ndarray, elem: jnp.ndarray,
+                    reach=tuple(range(8))) -> jnp.ndarray:
+    """(B, H, W, C) × per-image element index (B,) → transformed batch in one
+    fused select. `reach` statically lists the elements `elem` can take, so
+    the select only materializes those views — and flip-only configs (no
+    element with the swap bit) never transpose, which keeps non-square
+    images legal."""
+    reach = tuple(sorted(set(reach) | {0}))
+    xt = jnp.swapaxes(imgs, 1, 2) if any(e & 4 for e in reach) else None
+    views = []
+    for e in reach:
+        v = xt if e & 4 else imgs
+        if e & 2:
+            v = v[:, ::-1]
+        if e & 1:
+            v = v[:, :, ::-1]
+        views.append(v)
+    if len(views) == 1:
+        return views[0]
+    conds = [(elem == e)[:, None, None, None] for e in reach[1:]]
+    return jnp.select(conds, views[1:], views[0])
+
+
 # --- CLAHE ------------------------------------------------------------------
 
 def _rgb_to_ycbcr(img):
@@ -319,13 +431,32 @@ def jpeg_compress(img: jnp.ndarray, quality: jnp.ndarray) -> jnp.ndarray:
 
 # --- the pipeline -------------------------------------------------------------
 
+def draw_sharpen_oneof(key: jax.Array, cfg: AugmentConfig, outer):
+    """strong_aug's OneOf([CLAHE, Sharpen, Emboss, BC], p=.2) coins
+    (`augmentation.py:19-24`): group coin at sharpen_oneof_prob, uniform
+    4-way pick. Shapes follow `outer` (scalar per image, or (B,) when drawn
+    batch-level so `augment_batch` can gather the rare CLAHE takers)."""
+    k1, k2 = jax.random.split(key)
+    shape = jnp.shape(outer)
+    sgroup = (jax.random.uniform(k1, shape) < cfg.sharpen_oneof_prob) & outer
+    spick = jax.random.randint(k2, shape, 0, 4)
+    return (sgroup & (spick == 0), sgroup & (spick == 1),
+            sgroup & (spick == 2), sgroup & (spick == 3))
+
+
 def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig,
-                  outer=None) -> jnp.ndarray:
+                  outer=None, sharpen_gates=None,
+                  clahe_inline: bool = True) -> jnp.ndarray:
     """Apply the configured augmentations to one image with per-op coin flips
     at the reference's per-op probabilities (`augmentation.py:11-26`,
     `deepfakes_dataset.py:33-48`). `outer` is the Compose(p=…) coin — the
     whole chain no-ops when it misses (strong_aug is built with p=0.9); pass
-    it in from `augment_batch` so the batch affine shares the same coin."""
+    it in from `augment_batch` so the batch affine shares the same coin.
+    `sharpen_gates` optionally injects pre-drawn OneOf coins (take_clahe,
+    take_sharpen, take_emboss, take_bc) so `augment_batch` can hoist the
+    group draw to batch level; `clahe_inline=False` skips the CLAHE apply
+    (the batch path runs it on a gathered subset instead — computing CLAHE
+    for a full batch when the group fires ~5% of images is pure waste)."""
     # one key per random draw: parameters and their apply-coins must be
     # independent, otherwise conditioning on the coin silently truncates the
     # parameter distribution (e.g. a shared key makes brightness==contrast
@@ -355,12 +486,9 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig,
         take_hsv = coin(keys[11], cfg.hsv_prob)
         take_bc = coin(keys[18])
     if cfg.sharpen_oneof and not cfg.color_oneof:
-        sgroup = (jax.random.uniform(keys[31]) < cfg.sharpen_oneof_prob) & outer
-        spick = jax.random.randint(keys[32], (), 0, 4)
-        take_clahe = sgroup & (spick == 0)
-        take_sharpen = sgroup & (spick == 1)
-        take_emboss = sgroup & (spick == 2)
-        take_bc = sgroup & (spick == 3)
+        if sharpen_gates is None:
+            sharpen_gates = draw_sharpen_oneof(keys[31], cfg, outer)
+        take_clahe, take_sharpen, take_emboss, take_bc = sharpen_gates
     else:
         take_clahe = coin(keys[23])
         take_sharpen = coin(keys[12])
@@ -418,7 +546,7 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig,
         delta = evecs @ (alphas * evals)
         shifted = jnp.clip(img + delta[None, None, :], 0, 1)
         img = jnp.where(take_pca[None, None, None], shifted, img)
-    if cfg.clahe:
+    if cfg.clahe and clahe_inline:
         # strong_aug CLAHE(clip_limit=2) — first member of the OneOf group
         # (`helpers/augmentation.py:19-24`)
         eq = clahe_luma(img, cfg.clahe_clip_limit)
@@ -427,18 +555,14 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig,
         # albumentations Sharpen: blend with a laplacian-sharpened image
         alpha = jax.random.uniform(keys[8], (), minval=0.2, maxval=0.5)
         lightness = jax.random.uniform(keys[13], (), minval=0.5, maxval=1.0)
-        k = jnp.array([[-1, -1, -1], [-1, 8 + lightness, -1], [-1, -1, -1]],
-                      jnp.float32) * alpha + \
-            jnp.array([[0, 0, 0], [0, 1 - alpha, 0], [0, 0, 0]], jnp.float32) \
-            * jnp.float32(1.0)
-        sharpened = jnp.clip(_conv3x3(img, k), 0, 1)
+        sharpened = jnp.clip(_conv3x3(img, _sharpen_kernel(alpha, lightness)),
+                             0, 1)
         img = jnp.where(take_sharpen[None, None, None], sharpened, img)
     if cfg.emboss:
         alpha = jax.random.uniform(keys[14], (), minval=0.2, maxval=0.5)
         strength = jax.random.uniform(keys[15], (), minval=0.2, maxval=0.7)
-        emb = jnp.array([[-1 - strength, 0, 0], [0, 1, 0], [0, 0, 1 + strength]],
-                        jnp.float32)
-        embossed = jnp.clip(_conv3x3(img, emb) * alpha + img * (1 - alpha), 0, 1)
+        embossed = jnp.clip(_conv3x3(img, _emboss_kernel(alpha, strength)),
+                            0, 1)
         img = jnp.where(take_emboss[None, None, None], embossed, img)
     if cfg.brightness_contrast:
         a = jax.random.uniform(keys[9], (), minval=-0.2, maxval=0.2)
@@ -468,25 +592,237 @@ def augment_image(key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig,
     return img
 
 
+def _subset_budget(n: int, p: float) -> int:
+    """Fixed gather size for an op firing with probability p: mean + 4σ of
+    Binomial(n, p), rounded up to a multiple of 8. P(overflow) ≲ 1e-7; the
+    overflow case simply leaves the extra takers untransformed — a no-op for
+    a randomized training augmentation."""
+    mu = n * p
+    k = int(mu + 4.0 * (mu * max(1.0 - p, 0.0)) ** 0.5) + 1
+    return min(n, max(8, (k + 7) // 8 * 8))
+
+
+def _subset_apply(x: jnp.ndarray, take: jnp.ndarray, k_budget: int,
+                  fn, *extras) -> jnp.ndarray:
+    """Apply `fn` only to the ≤k_budget images whose `take` coin fired:
+    stable-sort gathers takers to the front, fn transforms the fixed-size
+    sub-batch, scatter writes it back (non-takers get their own bits back,
+    bit-exact). `extras` are per-image params gathered alongside."""
+    idx = jnp.argsort(jnp.logical_not(take), stable=True)[:k_budget]
+    sel = jnp.take(take, idx)
+    sub = jnp.take(x, idx, axis=0)
+    new = fn(sub, *(jnp.take(e, idx, axis=0) for e in extras))
+    return x.at[idx].set(jnp.where(sel[:, None, None, None], new, sub))
+
+
 def augment_batch(key: jax.Array, batch_u8: jnp.ndarray,
                   cfg: AugmentConfig) -> jnp.ndarray:
-    """uint8 (B,H,W,3) or clips (B,T,H,W,3) → float32 [0,1] augmented batch;
-    one key per image (clips: per frame, like the reference's per-frame
-    albumentations calls in `deepfakes_dataset.py`)."""
+    """uint8 (B,H,W,3) or clips (B,T,H,W,3) → float32 [0,1] augmented batch.
+
+    Batch-vectorized re-expression of the per-image chain `augment_image`
+    documents (same ops, same per-op probabilities — clips draw per *frame*
+    like the reference's per-frame albumentations calls): the reference's
+    sequential where-passes are reorganized around the TPU's memory system,
+    because at b256/224² every image-sized pass moves ~300 MB of HBM traffic:
+
+      * rot90/transpose/flips — all dihedral-group elements — compose into
+        ONE 8-way select of input *views* (`_apply_dihedral`) instead of four
+        read-modify-write passes;
+      * Sharpen/Emboss/GaussianBlur/BrightnessContrast/FancyPCA collapse into
+        ONE depthwise 3×3 conv with per-image kernel k·scale and bias: the
+        OneOf groups make the kernel ops mutually exclusive per image, and
+        bc (affine map) and pca (channel bias) compose exactly with any
+        kernel. Composition-order caveats only arise for co-firing ops that
+        the reference's shipped pipelines never enable together (legacy
+        independent-coin mode falls back to sequential passes);
+      * CLAHE (~5% effective) and HSV (~18%) run on fixed-K gathered subsets
+        (`_subset_apply`) instead of equalizing/converting the whole batch;
+      * the ShiftScaleRotate affine stays the per-batch shear-matmul form.
+
+    Op order matches `augment_image` except that the OneOf color stage sits
+    after noise and before HSV as one fused stage — exclusivity makes the
+    intra-stage order unobservable; see the module header for the affine-last
+    approximation note.
+    """
     imgs = batch_u8.astype(jnp.float32) / 255.0
     if not cfg.enabled:
         return imgs
     shape = imgs.shape
     flat = imgs.reshape(-1, *shape[-3:])
-    n = flat.shape[0]
-    key, gk, ok = jax.random.split(key, 3)
-    keys = jax.random.split(key, n)
-    # one Compose(p=…) coin per image, shared between the per-image op chain
-    # and the batch affine below (both sit inside the reference's Compose)
-    outer = jax.random.uniform(ok, (n,)) < cfg.compose_prob
-    out = jax.vmap(lambda k, im, oc: augment_image(k, im, cfg, outer=oc))(
-        keys, flat, outer)
+    n, h, w = flat.shape[0], flat.shape[1], flat.shape[2]
+    # one key per independent draw — a coin and its op's parameters must not
+    # share a key (a shared key correlates "applied" with the parameter range)
+    ks = jax.random.split(key, 34)
+    gk = ks[33]
+    # one Compose(p=…) coin per image, shared by every op incl. the affine
+    outer = jax.random.uniform(ks[0], (n,)) < cfg.compose_prob
 
+    def coin(k, p=cfg.prob):
+        return (jax.random.uniform(k, (n,)) < p) & outer
+
+    # --- gates: the three reference shapes (see augment_image) -------------
+    if cfg.color_oneof:
+        group = (jax.random.uniform(ks[1], (n,)) < cfg.color_oneof_prob) & outer
+        pick = jax.random.randint(ks[2], (n,), 0, 3)
+        take_bc = group & (pick == 0)
+        take_pca = group & (pick == 1)
+        take_hsv = group & (pick == 2)
+        p_hsv = cfg.compose_prob * cfg.color_oneof_prob / 3.0
+    else:
+        take_pca = coin(ks[3])
+        take_hsv = coin(ks[4], cfg.hsv_prob)
+        take_bc = coin(ks[5])
+        p_hsv = cfg.compose_prob * cfg.hsv_prob
+    exclusive = cfg.sharpen_oneof and not cfg.color_oneof
+    if exclusive:
+        take_clahe, take_sharpen, take_emboss, take_bc = \
+            draw_sharpen_oneof(ks[6], cfg, outer)
+        p_clahe = cfg.compose_prob * cfg.sharpen_oneof_prob / 4.0
+    else:
+        take_clahe = coin(ks[7])
+        take_sharpen = coin(ks[8])
+        take_emboss = coin(ks[9])
+        p_clahe = cfg.compose_prob * cfg.prob
+
+    x = flat
+    if cfg.image_compression:
+        # S3D order: ImageCompression first (`deepfakes_dataset.py:33-48`)
+        q = jnp.floor(jax.random.uniform(
+            ks[10], (n,), minval=float(cfg.compression_quality[0]),
+            maxval=float(cfg.compression_quality[1])))
+        take = (jax.random.uniform(ks[11], (n,)) < cfg.compression_prob) & outer
+        comp = jax.vmap(jpeg_compress)(x, q)
+        x = jnp.where(take[:, None, None, None], comp, x)
+
+    # --- dihedral stage (rot90 → transpose → hflip → vflip composed) -------
+    if cfg.rot90 or cfg.transpose or cfg.hflip or cfg.vflip:
+        cayley = jnp.asarray(_CAYLEY)
+        elem = jnp.zeros((n,), jnp.int32)
+        reach = {0}
+        if cfg.rot90:
+            if h != w:
+                raise ValueError("rot90/transpose need square images")
+            k4 = jax.random.randint(ks[12], (n,), 0, 4)
+            elem = jnp.where(coin(ks[13], cfg.rot90_prob),
+                             jnp.take(jnp.asarray(_ROT90_ELEM), k4), elem)
+            reach = {int(e) for e in _ROT90_ELEM}
+        for flag, e_op, kc, p_op in (
+                (cfg.transpose, 4, 14, cfg.transpose_prob),
+                (cfg.hflip, 1, 15, cfg.hflip_prob),
+                (cfg.vflip, 2, 16, cfg.vflip_prob)):
+            if flag:
+                if e_op == 4 and h != w:
+                    raise ValueError("rot90/transpose need square images")
+                elem = jnp.where(coin(ks[kc], p_op),
+                                 jnp.take(cayley[e_op], elem), elem)
+                reach |= {int(_CAYLEY[e_op, e]) for e in reach}
+        x = _apply_dihedral(x, elem, tuple(sorted(reach)))
+
+    if cfg.gauss_noise:
+        sigma = jax.random.uniform(ks[17], (n,), minval=0.01, maxval=0.05)
+        noise = sigma[:, None, None, None] * jax.random.normal(ks[18], x.shape)
+        x = jnp.where(coin(ks[19], cfg.noise_prob)[:, None, None, None],
+                      jnp.clip(x + noise, 0, 1), x)
+
+    # --- fused depthwise-conv stage -----------------------------------------
+    # kernel = scale_bc · (sharpen | emboss | blur | identity), bias = bc + pca
+    blur_in_conv = cfg.gaussian_blur and not (cfg.sharpen or cfg.emboss)
+    emboss_in_conv = cfg.emboss and (exclusive or not cfg.sharpen)
+    kern = jnp.broadcast_to(_IDENT3, (n, 3, 3))
+    take_conv = jnp.zeros((n,), bool)
+    if blur_in_conv:
+        k3 = jax.random.bernoulli(ks[20], 0.5, (n,))
+        tb = (jax.random.uniform(ks[21], (n,)) < cfg.blur_prob) & k3 & outer
+        kern = jnp.where(tb[:, None, None], _GAUSS3, kern)
+        take_conv |= tb
+    if cfg.sharpen:
+        a = jax.random.uniform(ks[25], (n,), minval=0.2, maxval=0.5)
+        li = jax.random.uniform(ks[22], (n,), minval=0.5, maxval=1.0)
+        kern = jnp.where(take_sharpen[:, None, None],
+                         _sharpen_kernel(a, li), kern)
+        take_conv |= take_sharpen
+    if emboss_in_conv:
+        a = jax.random.uniform(ks[26], (n,), minval=0.2, maxval=0.5)
+        s = jax.random.uniform(ks[23], (n,), minval=0.2, maxval=0.7)
+        kern = jnp.where(take_emboss[:, None, None],
+                         _emboss_kernel(a, s), kern)
+        take_conv |= take_emboss
+    bias = jnp.zeros((n, 3), jnp.float32)
+    if cfg.fancy_pca:
+        # per-image RGB eigen-shift (AlexNet aug): a pure per-channel bias,
+        # exact through any kernel whose taps sum to 1 (all of the above)
+        flatpx = x.reshape(n, -1, 3)
+        centered = flatpx - flatpx.mean(axis=1, keepdims=True)
+        cov = jnp.einsum("npc,npd->ncd", centered, centered) / flatpx.shape[1]
+        evals, evecs = jnp.linalg.eigh(cov)
+        alphas = 0.1 * jax.random.normal(ks[24], (n, 3))
+        delta = jnp.einsum("ncd,nd->nc", evecs, alphas * evals)
+        bias = bias + jnp.where(take_pca[:, None], delta, 0.0)
+        take_conv |= take_pca
+    if cfg.brightness_contrast:
+        a = jax.random.uniform(ks[27], (n,), minval=-0.2, maxval=0.2)
+        b = jax.random.uniform(ks[28], (n,), minval=-0.2, maxval=0.2)
+        scale = jnp.where(take_bc, 1.0 + a, 1.0)
+        kern = kern * scale[:, None, None]
+        bias = scale[:, None] * bias + jnp.where(take_bc, b - 0.5 * a, 0.0)[:, None]
+        take_conv |= take_bc
+    if (blur_in_conv or cfg.sharpen or emboss_in_conv or cfg.fancy_pca
+            or cfg.brightness_contrast):
+        conv = _conv3x3_per_image(x, kern) + bias[:, None, None, :]
+        x = jnp.where(take_conv[:, None, None, None],
+                      jnp.clip(conv, 0, 1), x)
+    # legacy-mode stragglers that can co-fire (never in the reference's
+    # shipped OneOf pipelines): sequential passes, reference order
+    if cfg.gaussian_blur and not blur_in_conv:
+        k3 = jax.random.bernoulli(ks[20], 0.5, (n,))
+        tb = (jax.random.uniform(ks[21], (n,)) < cfg.blur_prob) & k3 & outer
+        blurred = jnp.clip(_conv3x3_per_image(
+            x, jnp.broadcast_to(_GAUSS3, (n, 3, 3))), 0, 1)
+        x = jnp.where(tb[:, None, None, None], blurred, x)
+    if cfg.emboss and not emboss_in_conv:
+        a = jax.random.uniform(ks[26], (n,), minval=0.2, maxval=0.5)
+        s = jax.random.uniform(ks[23], (n,), minval=0.2, maxval=0.7)
+        emb = jnp.clip(_conv3x3_per_image(x, _emboss_kernel(a, s)), 0, 1)
+        x = jnp.where(take_emboss[:, None, None, None], emb, x)
+
+    if cfg.clahe:
+        def eq_fn(sub):
+            return jax.vmap(lambda im: clahe_luma(im, cfg.clahe_clip_limit))(sub)
+        kb = _subset_budget(n, p_clahe)
+        if kb <= n // 2 and n >= 16:
+            x = _subset_apply(x, take_clahe, kb, eq_fn)
+        else:
+            x = jnp.where(take_clahe[:, None, None, None], eq_fn(x), x)
+
+    if cfg.hue_saturation or cfg.color_jitter:
+        dh = jax.random.uniform(ks[29], (n,), minval=-0.05, maxval=0.05)
+        dsat = jax.random.uniform(ks[30], (n,), minval=-0.15, maxval=0.15)
+        dv = jax.random.uniform(ks[31], (n,), minval=-0.15, maxval=0.15)
+
+        def hsv_fn(sub, sdh, sds, sdv):
+            hsv = _rgb_to_hsv_vec(sub)
+            shifted = _hsv_to_rgb_vec(jnp.stack(
+                [hsv[..., 0] + sdh[:, None, None],
+                 jnp.clip(hsv[..., 1] + sds[:, None, None], 0, 1),
+                 jnp.clip(hsv[..., 2] + sdv[:, None, None], 0, 1)], axis=-1))
+            return jnp.clip(shifted, 0, 1)
+
+        kb = _subset_budget(n, p_hsv)
+        if kb <= n // 2 and n >= 16:
+            x = _subset_apply(x, take_hsv, kb, hsv_fn, dh, dsat, dv)
+        else:
+            x = jnp.where(take_hsv[:, None, None, None],
+                          hsv_fn(x, dh, dsat, dv), x)
+
+    if cfg.to_gray_prob > 0:
+        gray = (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
+        take = (jax.random.uniform(ks[32], (n,)) < cfg.to_gray_prob) & outer
+        x = jnp.where(take[:, None, None, None], gray[..., None], x)
+    if cfg.to_gray:
+        gray = (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
+        x = jnp.broadcast_to(gray[..., None], x.shape)
+
+    out = x
     if cfg.rotation_deg > 0:
         # ShiftScaleRotate with per-batch params as MXU matmuls; per-image
         # coin (affine_prob, ANDed with the Compose coin) decides who gets

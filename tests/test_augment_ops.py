@@ -240,6 +240,32 @@ def test_sharpen_oneof_group_rate():
     assert 4 <= fired <= 24, fired
 
 
+def test_subset_clahe_matches_inline_semantics():
+    """The batch path gathers the rare CLAHE takers into a fixed-K subset
+    (OneOf fires ~5%; equalizing all B images is pure waste). Semantics must
+    be unchanged: takers get exactly `clahe_luma`, everyone else is
+    bit-identical to the non-CLAHE pipeline."""
+    from fac_fake_tpu.data.augment import augment_batch, clahe_luma
+    from fac_fake_tpu.core.config import AugmentConfig
+    rng = np.random.default_rng(12)
+    batch = rng.integers(0, 255, (64, 32, 32, 3), dtype=np.uint8)
+    base = batch.astype(np.float32) / 255.0
+    kw = dict(enabled=True, compose_prob=1.0, sharpen_oneof=True,
+              sharpen_oneof_prob=1.0, hflip=False, vflip=False, rot90=False,
+              transpose=False, gauss_noise=False, sharpen=False, emboss=False,
+              brightness_contrast=False, hue_saturation=False,
+              color_jitter=False, rotation_deg=0.0)
+    out = np.asarray(augment_batch(jax.random.key(7), jnp.asarray(batch),
+                                   AugmentConfig(clahe=True, **kw)))
+    changed = ~np.isclose(out, base, atol=1e-6).all(axis=(1, 2, 3))
+    # group fires 100%, pick==clahe 1/4 → ~16 takers of 64
+    assert 5 <= changed.sum() <= 30, changed.sum()
+    for i in np.where(changed)[0]:
+        eq = np.asarray(clahe_luma(jnp.asarray(base[i]), 2.0))
+        np.testing.assert_allclose(out[i], eq, atol=1e-5)
+    np.testing.assert_allclose(out[~changed], base[~changed], atol=1e-7)
+
+
 def test_compose_prob_gates_everything():
     """The outer Compose(p=…) coin (strong_aug is built with p=0.9,
     `augmentation.py:49`): at compose_prob=0 the chain is an exact no-op
