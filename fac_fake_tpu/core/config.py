@@ -137,6 +137,13 @@ class AugmentConfig:
     ``OneOf([CLAHE, Sharpen, Emboss, RandomBrightnessContrast], p=0.2)``
     group (each member effectively ~5%)."""
     enabled: bool = True
+    # dtype the batched pipeline computes in. "auto": follow the model dtype
+    # (the Trainer upgrades it to bfloat16 alongside a bf16 model — the chain
+    # is HBM-bandwidth-bound, so halving the element size halves its cost);
+    # "float32" pins full precision (tests, golden comparisons). Sub-pixel
+    # exact ops (CLAHE LUTs, JPEG DCT) always run their math in fp32 on
+    # their gathered subsets regardless.
+    compute_dtype: str = "auto"
     prob: float = 0.5
     # outer Compose(p=…) coin — strong_aug is built with p=0.9
     # (`augmentation.py:49`); the S3D transform has no outer p (plans set 1.0)

@@ -90,11 +90,13 @@ def batch_affine_matmul(imgs: jnp.ndarray, angle: jnp.ndarray,
     zx = _scale_matrix(w, scale)
 
     x = imgs
-    x = jnp.einsum("hvw,bhwc->bhvc", sx1, x)              # shear x
-    x = jnp.einsum("wvh,bhwc->bvwc", sy, x)               # shear y
-    x = jnp.einsum("hvw,bhwc->bhvc", sx2, x)              # shear x
-    x = jnp.einsum("vh,bhwc->bvwc", zy, x)                # zoom y
-    x = jnp.einsum("uw,bhwc->bhuc", zx, x)                # zoom x
+    dt = imgs.dtype  # bf16 pipeline: interpolation weights ride the MXU in
+    # the image dtype (fp32 accumulation is the MXU default)
+    x = jnp.einsum("hvw,bhwc->bhvc", sx1.astype(dt), x)   # shear x
+    x = jnp.einsum("wvh,bhwc->bvwc", sy.astype(dt), x)    # shear y
+    x = jnp.einsum("hvw,bhwc->bhvc", sx2.astype(dt), x)   # shear x
+    x = jnp.einsum("vh,bhwc->bvwc", zy.astype(dt), x)     # zoom y
+    x = jnp.einsum("uw,bhwc->bhuc", zx.astype(dt), x)     # zoom x
     return x
 
 
@@ -144,6 +146,7 @@ def _conv3x3_per_image(x: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
     adds — per-image kernels would otherwise force a grouped conv with B·C
     groups, which XLA lowers terribly; this form fuses into one VPU pass."""
     h, w = x.shape[1], x.shape[2]
+    kern = kern.astype(x.dtype)   # keep the pass in the pipeline dtype
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     out = jnp.zeros_like(x)
     for dy in range(3):
@@ -617,7 +620,8 @@ def _subset_apply(x: jnp.ndarray, take: jnp.ndarray, k_budget: int,
 
 def augment_batch(key: jax.Array, batch_u8: jnp.ndarray,
                   cfg: AugmentConfig) -> jnp.ndarray:
-    """uint8 (B,H,W,3) or clips (B,T,H,W,3) → float32 [0,1] augmented batch.
+    """uint8 (B,H,W,3) or clips (B,T,H,W,3) → [0,1] augmented batch in
+    ``cfg.compute_dtype`` (float32 unless a bf16 trainer resolves "auto").
 
     Batch-vectorized re-expression of the per-image chain `augment_image`
     documents (same ops, same per-op probabilities — clips draw per *frame*
@@ -643,8 +647,17 @@ def augment_batch(key: jax.Array, batch_u8: jnp.ndarray,
     after noise and before HSV as one fused stage — exclusivity makes the
     intra-stage order unobservable; see the module header for the affine-last
     approximation note.
+
+    ``cfg.compute_dtype`` picks the element type the full-batch passes run
+    in ("auto" resolves to float32 here; the Trainer rewrites it to match a
+    bf16 model — the chain is HBM-bandwidth-bound, so halving the element
+    size halves its cost). Sub-pixel-exact ops keep fp32 math regardless:
+    CLAHE/HSV cast their gathered subsets up and back, JPEG's DCT einsums
+    promote to fp32 internally, FancyPCA's covariance accumulates fp32.
     """
-    imgs = batch_u8.astype(jnp.float32) / 255.0
+    dt = (jnp.float32 if cfg.compute_dtype == "auto"
+          else jnp.dtype(cfg.compute_dtype))
+    imgs = batch_u8.astype(dt) / 255.0
     if not cfg.enabled:
         return imgs
     shape = imgs.shape
@@ -691,7 +704,7 @@ def augment_batch(key: jax.Array, batch_u8: jnp.ndarray,
             ks[10], (n,), minval=float(cfg.compression_quality[0]),
             maxval=float(cfg.compression_quality[1])))
         take = (jax.random.uniform(ks[11], (n,)) < cfg.compression_prob) & outer
-        comp = jax.vmap(jpeg_compress)(x, q)
+        comp = jax.vmap(jpeg_compress)(x, q).astype(x.dtype)
         x = jnp.where(take[:, None, None, None], comp, x)
 
     # --- dihedral stage (rot90 → transpose → hflip → vflip composed) -------
@@ -720,7 +733,8 @@ def augment_batch(key: jax.Array, batch_u8: jnp.ndarray,
 
     if cfg.gauss_noise:
         sigma = jax.random.uniform(ks[17], (n,), minval=0.01, maxval=0.05)
-        noise = sigma[:, None, None, None] * jax.random.normal(ks[18], x.shape)
+        noise = sigma[:, None, None, None].astype(x.dtype) \
+            * jax.random.normal(ks[18], x.shape, x.dtype)
         x = jnp.where(coin(ks[19], cfg.noise_prob)[:, None, None, None],
                       jnp.clip(x + noise, 0, 1), x)
 
@@ -750,8 +764,10 @@ def augment_batch(key: jax.Array, batch_u8: jnp.ndarray,
     bias = jnp.zeros((n, 3), jnp.float32)
     if cfg.fancy_pca:
         # per-image RGB eigen-shift (AlexNet aug): a pure per-channel bias,
-        # exact through any kernel whose taps sum to 1 (all of the above)
-        flatpx = x.reshape(n, -1, 3)
+        # exact through any kernel whose taps sum to 1 (all of the above);
+        # covariance/eigh stay fp32 (eigh needs it, and the cast fuses into
+        # the mean/cov reduces so the HBM reads stay in the pipeline dtype)
+        flatpx = x.reshape(n, -1, 3).astype(jnp.float32)
         centered = flatpx - flatpx.mean(axis=1, keepdims=True)
         cov = jnp.einsum("npc,npd->ncd", centered, centered) / flatpx.shape[1]
         evals, evecs = jnp.linalg.eigh(cov)
@@ -768,7 +784,7 @@ def augment_batch(key: jax.Array, batch_u8: jnp.ndarray,
         take_conv |= take_bc
     if (blur_in_conv or cfg.sharpen or emboss_in_conv or cfg.fancy_pca
             or cfg.brightness_contrast):
-        conv = _conv3x3_per_image(x, kern) + bias[:, None, None, :]
+        conv = _conv3x3_per_image(x, kern) + bias.astype(x.dtype)[:, None, None, :]
         x = jnp.where(take_conv[:, None, None, None],
                       jnp.clip(conv, 0, 1), x)
     # legacy-mode stragglers that can co-fire (never in the reference's
@@ -787,7 +803,10 @@ def augment_batch(key: jax.Array, batch_u8: jnp.ndarray,
 
     if cfg.clahe:
         def eq_fn(sub):
-            return jax.vmap(lambda im: clahe_luma(im, cfg.clahe_clip_limit))(sub)
+            # CLAHE's histogram bins are integer-exact only in fp32
+            return jax.vmap(lambda im: clahe_luma(
+                im, cfg.clahe_clip_limit))(
+                sub.astype(jnp.float32)).astype(sub.dtype)
         kb = _subset_budget(n, p_clahe)
         if kb <= n // 2 and n >= 16:
             x = _subset_apply(x, take_clahe, kb, eq_fn)
@@ -800,12 +819,13 @@ def augment_batch(key: jax.Array, batch_u8: jnp.ndarray,
         dv = jax.random.uniform(ks[31], (n,), minval=-0.15, maxval=0.15)
 
         def hsv_fn(sub, sdh, sds, sdv):
-            hsv = _rgb_to_hsv_vec(sub)
+            # hue arithmetic (mod-1 wraparound) is fp32-sensitive
+            hsv = _rgb_to_hsv_vec(sub.astype(jnp.float32))
             shifted = _hsv_to_rgb_vec(jnp.stack(
                 [hsv[..., 0] + sdh[:, None, None],
                  jnp.clip(hsv[..., 1] + sds[:, None, None], 0, 1),
                  jnp.clip(hsv[..., 2] + sdv[:, None, None], 0, 1)], axis=-1))
-            return jnp.clip(shifted, 0, 1)
+            return jnp.clip(shifted, 0, 1).astype(sub.dtype)
 
         kb = _subset_budget(n, p_hsv)
         if kb <= n // 2 and n >= 16:

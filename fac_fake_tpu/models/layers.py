@@ -26,11 +26,68 @@ class TorchBatchNorm(nn.BatchNorm):
     Cross-replica sync (the SyncBatchNorm equivalent,
     `S3D-train-GPUs.py:330`) comes for free from `axis_name`: batch stats are
     `lax.pmean`-ed over the data axis when set.
+
+    bf16 fast path: stock flax BN promotes the ENTIRE activation to float32
+    around the statistics (`flax/linen/normalization.py _compute_stats` /
+    `_normalize`), so at (256,224,224,32) every train step materializes
+    multi-GB f32 tensors through the normalize and its backward — profiled
+    at ~25% of the whole CViT train step. When ``dtype`` is bfloat16 we
+    instead keep every full-tensor op in bf16 and pay fp32 only where it
+    matters numerically: the mean/E[x²] reductions accumulate in fp32 (the
+    convert fuses into the reduce, so HBM reads stay bf16) and the
+    per-channel ``w = scale·rsqrt(var+eps)`` / ``b = bias − mean·w`` are
+    folded in fp32, making the normalize a single fused bf16 multiply-add
+    (torch-AMP semantics). The fp32 path is untouched — golden tests remain
+    bit-exact against stock flax.
     """
 
     use_running_average: Optional[bool] = None
     momentum: float = BN_MOMENTUM
     epsilon: float = BN_EPS
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 use_running_average: Optional[bool] = None,
+                 *, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if self.dtype != jnp.bfloat16 or mask is not None or self.axis != -1:
+            return super().__call__(x, use_running_average, mask=mask)
+
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average)
+        feat = x.shape[-1]
+        red = tuple(range(x.ndim - 1))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (feat,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (feat,))
+        scale = jnp.asarray(self.param(
+            "scale", nn.initializers.ones, (feat,), self.param_dtype),
+            jnp.float32) if self.use_scale else jnp.ones((feat,), jnp.float32)
+        bias = jnp.asarray(self.param(
+            "bias", nn.initializers.zeros, (feat,), self.param_dtype),
+            jnp.float32) if self.use_bias else jnp.zeros((feat,), jnp.float32)
+
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)  # feeds reduces only; convert fuses
+            mean = jnp.mean(xf, axis=red)
+            mean2 = jnp.mean(jnp.square(xf), axis=red)
+            if self.axis_name is not None and not self.is_initializing():
+                # one pmean for both stats (flax's concat trick)
+                mean, mean2 = jnp.split(jax.lax.pmean(
+                    jnp.concatenate([mean, mean2]), self.axis_name), 2)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+
+        w = scale * jax.lax.rsqrt(var + self.epsilon)
+        b = bias - mean * w
+        return x * w.astype(jnp.bfloat16) + b.astype(jnp.bfloat16)
 
 
 def conv3x3(features: int, dtype: Dtype = jnp.float32, name: Optional[str] = None,

@@ -22,6 +22,7 @@ Re-designs the reference's five copy-pasted epoch loops
 """
 from __future__ import annotations
 
+import dataclasses
 import os
 import pickle
 import time
@@ -123,6 +124,14 @@ class Trainer:
     # ------------------------------------------------------------------
     def _build_steps(self):
         model, loss_fn, aug_cfg = self.model, self.loss_fn, self.cfg.data.augment
+        if aug_cfg.compute_dtype == "auto":
+            # bf16 model → bf16 augmentation: the aug chain is pure HBM
+            # bandwidth, so it should ride the model's precision (torch-AMP
+            # semantics); fp32 models keep the bit-exact fp32 chain
+            mdt = jnp.dtype(getattr(model, "dtype", None) or jnp.float32)
+            aug_cfg = dataclasses.replace(
+                aug_cfg, compute_dtype=(
+                    "bfloat16" if mdt == jnp.bfloat16 else "float32"))
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)
         norm_mode = self.cfg.data.normalize
@@ -130,7 +139,9 @@ class Trainer:
         def normalize(x01):
             if norm_mode == "raw255":  # S3D: raw 0-255 floats
                 return x01 * 255.0
-            return (x01 - mean) / std
+            # constants in the pipeline dtype so a bf16 chain stays bf16
+            # end-to-end (the subtract/divide fuse into the stem conv)
+            return (x01 - mean.astype(x01.dtype)) / std.astype(x01.dtype)
 
         def train_step(state: TrainState, batch, rng):
             # derive the per-step key inside the jit (rng is a per-epoch key;
