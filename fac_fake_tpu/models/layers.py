@@ -20,12 +20,8 @@ BN_EPS = 1e-5
 BN_MOMENTUM = 0.9
 
 
-class TorchBatchNorm(nn.BatchNorm):
-    """BatchNorm with torch-default hyperparameters.
-
-    Cross-replica sync (the SyncBatchNorm equivalent,
-    `S3D-train-GPUs.py:330`) comes for free from `axis_name`: batch stats are
-    `lax.pmean`-ed over the data axis when set.
+class Bf16FastBatchNorm(nn.BatchNorm):
+    """flax BatchNorm with a bandwidth-lean bfloat16 path.
 
     bf16 fast path: stock flax BN promotes the ENTIRE activation to float32
     around the statistics (`flax/linen/normalization.py _compute_stats` /
@@ -38,12 +34,14 @@ class TorchBatchNorm(nn.BatchNorm):
     per-channel ``w = scale·rsqrt(var+eps)`` / ``b = bias − mean·w`` are
     folded in fp32, making the normalize a single fused bf16 multiply-add
     (torch-AMP semantics). The fp32 path is untouched — golden tests remain
-    bit-exact against stock flax.
-    """
+    bit-exact against stock flax. Works for any rank with features last
+    (NHWC and NDHWC both reduce over all-but-last), so the S3D family's
+    `BN3D` shares it.
 
-    use_running_average: Optional[bool] = None
-    momentum: float = BN_MOMENTUM
-    epsilon: float = BN_EPS
+    Cross-replica sync (the SyncBatchNorm equivalent,
+    `S3D-train-GPUs.py:330`) comes for free from `axis_name`: batch stats
+    are `lax.pmean`-ed over the data axis when set.
+    """
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -88,6 +86,15 @@ class TorchBatchNorm(nn.BatchNorm):
         w = scale * jax.lax.rsqrt(var + self.epsilon)
         b = bias - mean * w
         return x * w.astype(jnp.bfloat16) + b.astype(jnp.bfloat16)
+
+
+class TorchBatchNorm(Bf16FastBatchNorm):
+    """BatchNorm with torch-default hyperparameters (eps=1e-5, momentum=0.1
+    → flax decay 0.9) and the bf16 fast path."""
+
+    use_running_average: Optional[bool] = None
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
 
 
 def conv3x3(features: int, dtype: Dtype = jnp.float32, name: Optional[str] = None,

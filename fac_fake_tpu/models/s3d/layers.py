@@ -25,13 +25,17 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from fac_fake_tpu.models.layers import Bf16FastBatchNorm
+
 _ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
 
 BN3D_EPS = 1e-3
 BN3D_MOMENTUM = 0.999
 
 
-class BN3D(nn.BatchNorm):
+class BN3D(Bf16FastBatchNorm):
+    """torch S3D BN hyperparams + the shared bf16 fast path (NDHWC reduces
+    over all-but-last, so the 2D implementation carries over unchanged)."""
     use_running_average: Optional[bool] = None
     momentum: float = BN3D_MOMENTUM
     epsilon: float = BN3D_EPS

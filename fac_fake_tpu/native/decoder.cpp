@@ -90,6 +90,14 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>* pixels, int* h,
   jpeg_start_decompress(&cinfo);
   *w = cinfo.output_width;
   *h = cinfo.output_height;
+  // corrupt headers can claim absurd dimensions; cap the decode buffer
+  // (crops are ≤ a few hundred px — 100 MPix is far beyond any real input)
+  if (*w <= 0 || *h <= 0 ||
+      static_cast<size_t>(*w) * static_cast<size_t>(*h) > 100000000ull) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
   pixels->resize(static_cast<size_t>(*w) * *h * 3);
   const int stride = *w * 3;
   while (cinfo.output_scanline < cinfo.output_height) {
@@ -123,7 +131,15 @@ int fac_decode_batch(const char** paths, int n, int size, uint8_t* out,
       if (i >= n) return;
       int h = 0, w = 0;
       uint8_t* dst = out + row_bytes * i;
-      if (decode_jpeg(paths[i], &pixels, &h, &w)) {
+      bool decoded = false;
+      // an exception escaping a std::thread is std::terminate (SIGABRT for
+      // the whole process) — a corrupt file must only fail its own row
+      try {
+        decoded = decode_jpeg(paths[i], &pixels, &h, &w) && h > 0 && w > 0;
+      } catch (...) {
+        decoded = false;
+      }
+      if (decoded) {
         if (h == size && w == size) {
           std::memcpy(dst, pixels.data(), row_bytes);
         } else {

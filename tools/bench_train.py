@@ -33,6 +33,9 @@ def main(argv=None):
     ap.add_argument("--dtype", default="float32",
                     help="compute dtype (bfloat16 = mixed precision; "
                          "params/optimizer stay fp32)")
+    ap.add_argument("--frames", type=int, default=0,
+                    help=">0: clip models (S3D family) — batches are "
+                         "(B, frames, H, W, 3) and the metric is clips/s")
     args = ap.parse_args(argv)
 
     import jax
@@ -54,20 +57,33 @@ def main(argv=None):
     cfg.train.log_every = 0
     cfg.train.epochs = 1
 
+    loss_kwargs = {}
+    if args.frames:
+        # S3D workload shape (`S3D-train.py:318-443`): raw 0-255 floats,
+        # single-logit weighted BCE, S3D-transform augs from the plan schema
+        cfg.data.normalize = "raw255"
+        cfg.train.loss = "bce_weighted"
+        loss_kwargs = {"pos_weight": 1.0}
+        input_shape = (1, args.frames, args.image_size, args.image_size, 3)
+    else:
+        input_shape = (1, args.image_size, args.image_size, 3)
+
     model = build_model(cfg.model)
-    trainer = Trainer(model, cfg,
-                      input_shape=(1, args.image_size, args.image_size, 3))
+    trainer = Trainer(model, cfg, loss_kwargs=loss_kwargs,
+                      input_shape=input_shape)
     state = trainer.shard_state(trainer.init_state())
     rng = jax.random.key(0)
 
     gen = np.random.default_rng(0)
 
+    sample = ((args.frames,) if args.frames else ()) + (
+        args.image_size, args.image_size, 3)
+
     def batches(n):
         for _ in range(n):
             yield {
                 "image": gen.integers(
-                    0, 255, (args.batch, args.image_size, args.image_size, 3),
-                    dtype=np.uint8),
+                    0, 255, (args.batch,) + sample, dtype=np.uint8),
                 "label": gen.integers(0, 2, (args.batch,), dtype=np.int64
                                       ).astype(np.int32),
                 "mask": np.ones(args.batch, np.float32),
@@ -75,9 +91,7 @@ def main(argv=None):
 
     if args.cached:
         n = args.batch * args.steps
-        images = gen.integers(0, 255,
-                              (n, args.image_size, args.image_size, 3),
-                              dtype=np.uint8)
+        images = gen.integers(0, 255, (n,) + sample, dtype=np.uint8)
         labels = gen.integers(0, 2, (n,)).astype(np.int32)
         cache = trainer.cache_data(images, labels, args.batch)
         feed = lambda: cache
@@ -95,7 +109,8 @@ def main(argv=None):
 
     img_per_sec = args.batch * args.steps / dt
     print(json.dumps({
-        "img_per_sec": round(img_per_sec, 1),
+        ("clips_per_sec" if args.frames else "img_per_sec"):
+            round(img_per_sec, 1),
         "batch": args.batch,
         "steps": args.steps,
         "model": args.model,
