@@ -1,0 +1,120 @@
+"""Post-training int8 quantization of folded CViT stems (inference only).
+
+The reference has no quantized serving path; this is a TPU-native extension:
+the v5e MXU runs int8×int8→int32 at 2× its bf16 rate, and the early stem
+convs — the ones padding-bound on the 128-wide systolic array at ≤64
+channels (see README "Performance") — are exactly where doubling the MXU
+rate pays. Scheme:
+
+  * weights: symmetric per-output-channel int8 (`w_q = round(w / s_w)`,
+    `s_w[o] = max|w[..,o]| / 127`) — standard PTQ, no bias quantization;
+  * activations: symmetric per-tensor int8, scale calibrated offline by
+    running the folded fp stem on a calibration batch and recording the
+    per-conv-input absolute maximum (the classic max calibration);
+  * compute: `lax.conv_general_dilated(int8, int8, preferred=int32)`,
+    dequant `· s_x s_w[o] + b` fused into the conv epilogue by XLA.
+
+Only the plain conv/relu/pool *prefix* of a folded stem quantizes — the
+first exotic op (scconv/wtconv/…, none in the base stem) stops the rewrite,
+because the calibration walk only models the simple ops. Use after
+`fold_cvit` (BN must already be folded into the convs):
+
+    model, variables = fold_cvit(model, variables)
+    qmodel, qvariables = quantize_cvit(model, variables, calib_batch)
+
+Accuracy note: no trained reference checkpoints ship in this environment,
+so fidelity is pinned numerically (logit agreement vs the folded fp model
+on held-out inputs, `tests/test_quantize.py`) rather than as an AUC delta.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SIMPLE = {"conv", "relu", "pool"}
+
+
+def _conv_ref(x, kernel, bias):
+    y = jax.lax.conv_general_dilated(
+        x, jnp.asarray(kernel, jnp.float32), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + jnp.asarray(bias, jnp.float32)
+
+
+def quantize_stem(spec: Tuple, params: dict, calib_x: jnp.ndarray,
+                  percentile: float = 100.0):
+    """Quantize the conv/relu/pool prefix of a folded stem.
+
+    Returns (new_spec, new_params, n_quantized). `calib_x` is the stem's
+    input batch in model space (normalized, NHWC). Convs past the first
+    non-simple op keep fp weights (their input stats aren't modeled here).
+    """
+    new_spec = []
+    new_params = dict(params)
+    x = jnp.asarray(calib_x, jnp.float32)
+    n_q = 0
+    prefix = True
+    for i, op in enumerate(spec):
+        kind = op[0]
+        name = f"l{i}"
+        if prefix and kind not in _SIMPLE:
+            prefix = False
+        if not prefix or kind != "conv":
+            new_spec.append(op)
+            if prefix and kind == "relu":
+                x = jax.nn.relu(x)
+            elif prefix and kind == "pool":
+                x = jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                    "VALID")
+            continue
+        p = {k: np.asarray(v) for k, v in params[name].items()}
+        w, b = p["kernel"], p["bias"]
+        amax = np.asarray(jnp.max(jnp.abs(x)))
+        if percentile < 100.0:
+            amax = np.asarray(jnp.percentile(jnp.abs(x).reshape(-1),
+                                             percentile))
+        s_x = np.float32(max(float(amax), 1e-8) / 127.0)
+        s_w = (np.max(np.abs(w), axis=(0, 1, 2)) / 127.0).astype(np.float32)
+        s_w = np.maximum(s_w, 1e-12)
+        w_q = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
+        new_params[name] = {
+            "kernel_q": jnp.asarray(w_q),
+            "w_scale": jnp.asarray(s_w),
+            "x_scale": jnp.asarray(s_x),
+            "bias": jnp.asarray(b, jnp.float32),
+        }
+        new_spec.append(("qconv", op[1]))
+        n_q += 1
+        # advance the calibration activations with the FP weights (the
+        # quantized path tracks it to within quant noise)
+        x = _conv_ref(x, w, b)
+    return tuple(new_spec), new_params, n_q
+
+
+def quantize_cvit(model, variables, calib_x):
+    """fold_cvit-shaped transform: returns (qmodel, qvariables).
+
+    `calib_x` is a normalized input batch (what the model's `__call__`
+    receives). Quantizes `stem`; `stem2`/`stem3` keep fp weights (their
+    inputs depend on inter-stem blocks not modeled by the calibration walk).
+    """
+    params = dict(variables["params"])
+    spec = getattr(model, "stem_spec", None)
+    if spec is None or "stem" not in params:
+        raise ValueError("model has no foldable stem to quantize")
+    if any(op[0] == "bn" for op in spec):
+        raise ValueError("quantize_cvit expects a folded stem "
+                         "(run fold_cvit first)")
+    new_spec, new_p, n_q = quantize_stem(spec, params["stem"], calib_x)
+    if n_q == 0:
+        return model, variables
+    params["stem"] = new_p
+    qmodel = dataclasses.replace(model, stem_spec=new_spec)
+    qvars = dict(variables)
+    qvars["params"] = params
+    return qmodel, qvars

@@ -272,6 +272,10 @@ class InferConfig:
     parity_chunking: bool = True
     batch_crops: int = 96          # padded crop capacity per video (3 × 32)
     no_face_score: float = 0.5
+    # "int8": post-training-quantized stem (TPU MXU 2× int8 rate), PTQ
+    # calibrated on the first scored crop batch — see compat/quantize.py.
+    # Scores shift within quantization noise; "none" keeps exact bf16.
+    quantize: str = "none"
 
 
 @dataclass

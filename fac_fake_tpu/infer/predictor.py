@@ -75,6 +75,13 @@ class VideoScorer:
         import threading
         self._lazy_lock = threading.Lock()
         self.capacity = self.cfg.infer.batch_crops
+        # int8 PTQ (TPU extension, no reference analogue): calibrated lazily
+        # on the first real crop batch, see `quantize_int8`
+        self._quant_pending = self.cfg.infer.quantize == "int8"
+        self._build_score()
+
+    def _build_score(self):
+        model = self.model
         legacy = getattr(model, "pos_mode", "legacy") == "legacy"
 
         def score_fn(v, crops_u8, count):
@@ -88,8 +95,40 @@ class VideoScorer:
             return aggregate_probs(logits, jnp.minimum(count, UPPER_BOUND))
 
         self._score = jax.jit(score_fn,
-                              out_shardings=self._rep) if mesh is not None \
-            else jax.jit(score_fn)
+                              out_shardings=self._rep) \
+            if self.mesh is not None else jax.jit(score_fn)
+
+    def quantize_int8(self, calib_crops_u8: np.ndarray) -> int:
+        """Post-training int8 quantization of the (folded) stem
+        (`compat/quantize.py`) — the v5e MXU runs int8 at 2× bf16. Scores
+        shift within PTQ noise (`tests/test_quantize.py` pins the bound);
+        returns the number of quantized convs and rebuilds the jitted
+        scorers. Prefer calling with a representative crop batch; the
+        `infer.quantize="int8"` config does this automatically with the
+        first scored batch."""
+        from fac_fake_tpu.compat.quantize import quantize_cvit
+        from fac_fake_tpu.ops.preprocess import normalize_imagenet
+        with self._lazy_lock:
+            if not self._quant_pending and \
+                    any(op[0] == "qconv" for op in
+                        getattr(self.model, "stem_spec", ())):
+                return 0            # already quantized (racing callers)
+            calib = normalize_imagenet(jnp.asarray(calib_crops_u8))
+            model, variables = quantize_cvit(
+                self.model, jax.device_get(self.variables), calib)
+            n_q = sum(op[0] == "qconv" for op in model.stem_spec)
+            self.model = model
+            self.variables = jax.device_put(
+                variables, self._rep) if self.mesh is not None \
+                else jax.device_put(variables)
+            self._quant_pending = False
+            self._batched_cache = {}
+            self._build_score()
+            return n_q
+
+    def _maybe_quantize(self, crops_u8: np.ndarray):
+        if self._quant_pending and crops_u8.shape[0] >= 8:
+            self.quantize_int8(crops_u8)
 
     def _put_crops(self, padded: np.ndarray):
         """Upload a padded crop stack, sharded over the mesh when present."""
@@ -220,6 +259,7 @@ class VideoScorer:
         n = int(crops_u8.shape[0])
         if n == 0:
             return float(self.cfg.infer.no_face_score)
+        self._maybe_quantize(crops_u8)
         cap = self.capacity
         padded = np.zeros((cap, *crops_u8.shape[1:]), np.uint8)
         padded[: min(n, cap)] = crops_u8[:cap]
@@ -296,6 +336,7 @@ class VideoScorer:
 
     def _score_packed(self, chunk, results):
         """Score a list of (video_index, crops) through one batched forward."""
+        self._maybe_quantize(chunk[0][1])
         slot = self.VIDEO_SLOT
         v_cap = next((b for b in self.VIDEO_BUCKETS if len(chunk) <= b),
                      self.VIDEO_BUCKETS[-1])

@@ -103,6 +103,42 @@ def conv3x3(features: int, dtype: Dtype = jnp.float32, name: Optional[str] = Non
                    use_bias=use_bias, dtype=dtype, name=name)
 
 
+class QuantConv3x3(nn.Module):
+    """Post-training-quantized 3×3 conv (inference only).
+
+    int8 symmetric weights (per-output-channel scale) × int8 symmetric
+    activations (per-tensor scale, calibrated offline by
+    `compat/quantize.py`), int32 accumulation on the MXU — the v5e MXU runs
+    int8 at 2× its bf16 rate, which matters most for the early stem convs
+    whose ≤64-channel contractions can only quarter-fill the systolic array
+    in bf16. Dequant + bias fold into one scale-add epilogue. Params are
+    produced by the quantizer, never trained; `param_dtype` tricks are
+    avoided by declaring the int8 kernel explicitly.
+    """
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel_q = self.param(
+            "kernel_q", lambda k, s: jnp.zeros(s, jnp.int8),
+            (3, 3, cin, self.features))
+        w_scale = self.param("w_scale", nn.initializers.ones,
+                             (self.features,), jnp.float32)
+        x_scale = self.param("x_scale", nn.initializers.ones, (), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
+                      -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, kernel_q, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        out = y.astype(jnp.float32) * (x_scale * w_scale) + bias
+        return out.astype(self.dtype)
+
+
 class MultiHeadSelfAttention(nn.Module):
     """Reference CViT attention (`model/cvit.py:34-62`), vectorized.
 

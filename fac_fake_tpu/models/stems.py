@@ -11,11 +11,16 @@ Each op is named ``l{index}`` so a stem spec doubles as the checkpoint name
 map for torch ``features.{index}.*`` keys (same sequential indexing). Stem
 layouts below were extracted from the corresponding reference Sequentials
 (file cited per builder).
+
+``("qconv", ch)`` is a post-training-quantized 3×3 conv (int8 weights +
+per-tensor activation scale) produced by `compat/quantize.py` from a folded
+("conv", ch) — an inference-only op that runs the MXU at its 2× int8 rate.
 """
 from __future__ import annotations
 
 from typing import Any, Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -190,6 +195,9 @@ class Stem(nn.Module):
             name = f"l{idx}"
             if kind == "conv":
                 x = conv3x3(op[1], dtype=self.dtype, name=name)(x)
+            elif kind == "qconv":
+                from fac_fake_tpu.models.layers import QuantConv3x3
+                x = QuantConv3x3(op[1], dtype=self.dtype, name=name)(x)
             elif kind == "deconv":
                 x = DEConv(op[1], dtype=self.dtype, name=name)(x)
             elif kind == "bn":
