@@ -10,7 +10,15 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"  # tests always run on the virtual CPU mesh
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate" not in _flags:
+    # 8 virtual devices share ONE physical core here: a loaded host can
+    # stall a collective rendezvous past XLA:CPU's default terminate
+    # timeout, which EXITS the process ("Exiting to ensure a consistent
+    # program state") — a flaky suite-wide SIGABRT. Warn late, never kill.
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
+os.environ["XLA_FLAGS"] = _flags
 
 # The axon sitecustomize imports jax at interpreter startup, latching
 # JAX_PLATFORMS before this file runs — override through the config API too.

@@ -101,6 +101,30 @@ def test_scorer_int8_auto_calibrates_and_tracks_scores():
     assert qscorer.score_crops(crops) == got
 
 
+def test_mesh_sharded_int8_matches_single_device():
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.core.config import Config
+    from fac_fake_tpu.infer.predictor import VideoScorer
+    from fac_fake_tpu.parallel.mesh import build_mesh
+    from fac_fake_tpu.core.config import MeshConfig
+
+    model = _tiny_cvit()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    rng = np.random.default_rng(4)
+    crops = rng.integers(0, 255, (16, 32, 32, 3), dtype=np.uint8)
+
+    def build(mesh):
+        cfg = Config(); cfg.data.image_size = 32; cfg.infer.batch_crops = 32
+        cfg.infer.quantize = "int8"
+        return VideoScorer(model, variables, cfg, mesh=mesh)
+
+    single = build(None).score_crops(crops)
+    mesh = build_mesh(MeshConfig(data=8, model=1))
+    sharded = build(mesh).score_crops(crops)
+    assert abs(single - sharded) < 1e-5, (single, sharded)
+
+
 def test_quantize_requires_folded_stem():
     import jax
     import jax.numpy as jnp
