@@ -12,6 +12,11 @@ def _enable_compilation_cache():
         return
     try:
         import jax
+        if jax.config.jax_compilation_cache_dir:
+            # caller already chose a cache (e.g. __graft_entry__'s per-host
+            # CPU cache, or the platform was switched to CPU via the config
+            # API which the env guard above can't see) — never override
+            return
         cache_dir = os.environ.get(
             "FAC_TPU_XLA_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache", "fac_fake_tpu_xla"))
