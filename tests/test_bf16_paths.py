@@ -91,6 +91,35 @@ def test_bn_bf16_grads_flow():
                for l in jax.tree.leaves(g))
 
 
+def test_bn3d_shares_fast_path_and_fp32_stays_exact():
+    """The S3D family's BN3D inherits the bf16 fast path (NDHWC reduces
+    over all-but-last); its fp32 path must remain bit-exact vs stock flax
+    with the S3D hyperparameters (eps=1e-3, decay=0.999)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.models.s3d.layers import BN3D
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 8, 16)) * 2, jnp.float32)
+    ours = BN3D(use_running_average=False)
+    stock = nn.BatchNorm(use_running_average=False, momentum=0.999,
+                         epsilon=1e-3)
+    v = ours.init(jax.random.key(0), x)
+    a, ma = ours.apply(v, x, mutable=["batch_stats"])
+    b, mb = stock.apply(v, x, mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for p, q in zip(jax.tree.leaves(ma), jax.tree.leaves(mb)):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(q))
+
+    bn16 = BN3D(use_running_average=False, dtype=jnp.bfloat16)
+    o16, m16 = bn16.apply(v, x.astype(jnp.bfloat16), mutable=["batch_stats"])
+    assert o16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(o16, np.float32), np.asarray(a),
+                               atol=0.05)
+    assert m16["batch_stats"]["mean"].dtype == jnp.float32
+
+
 def test_augment_batch_bf16_matches_fp32_within_rounding():
     import dataclasses
     import jax
