@@ -16,6 +16,9 @@ Secondary numbers ride in the same JSON line under "secondary":
     metric; skipped when the reference isn't mounted);
   * videos_per_min_batched — the production throughput path
     (score_videos_batched: V-slot packed forwards, pipelined gathers);
+  * int8_crops_per_sec — the PTQ int8-stem serving path
+    (compat/quantize.py): the v5e MXU's int8 rate is 2x bf16 exactly where
+    the early convs are padding-bound;
   * train_img_per_sec — device-cached CViT training (batch 256, bf16,
     full strong_aug), the Trainer's scanned-epoch path.
 
@@ -39,7 +42,7 @@ BASELINE_TARGET = 2000.0  # crops/sec/chip (BASELINE.md north star)
 BATCH = 2048
 
 
-def _throughput(model_name: str) -> float:
+def _throughput(model_name: str, quantize: bool = False) -> float:
     """crops/s for one folded bf16 model on device-resident uint8 crops."""
     from fac_fake_tpu.compat.fold import fold_cvit
     from fac_fake_tpu.core.config import ModelConfig
@@ -49,6 +52,11 @@ def _throughput(model_name: str) -> float:
     model = build_model(ModelConfig(name=model_name, dtype="bfloat16"))
     variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
     model, variables = fold_cvit(model, variables)
+    if quantize:
+        from fac_fake_tpu.compat.quantize import quantize_cvit
+        calib = normalize_imagenet(jnp.asarray(np.random.default_rng(1)
+                 .integers(0, 255, (64, 224, 224, 3), dtype=np.uint8)))
+        model, variables = quantize_cvit(model, variables, calib)
     variables = jax.device_put(variables)
     pos_idx = jnp.arange(BATCH) % 32
 
@@ -162,6 +170,11 @@ def main():
         secondary["flagship_crops_per_sec"] = round(_throughput("cvit_repbn8"), 1)
     except Exception as e:          # never lose the primary metric
         secondary["flagship_error"] = repr(e)[:120]
+    try:
+        secondary["int8_crops_per_sec"] = round(_throughput("cvit",
+                                                            quantize=True), 1)
+    except Exception as e:
+        secondary["int8_error"] = repr(e)[:120]
     try:
         secondary["train_img_per_sec"] = round(_train_throughput(), 1)
     except Exception as e:

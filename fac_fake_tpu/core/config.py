@@ -253,6 +253,13 @@ class TrainConfig:
     resume: str = ""
     seed: int = 0
     log_every: int = 20            # batches (cvit_train.py:149-153)
+    # microbatches per optimizer step (1 = off). Runs an in-jit lax.scan
+    # over microbatches and applies ONE Adam update from the mask-count-
+    # weighted mean gradient — the big-batch gradient for BN-free models
+    # (BN normalizes per microbatch, same caveat as torch grad accum) at
+    # 1/N the activation memory. TPU-native extension (no reference
+    # analogue): effective batches beyond HBM on one chip.
+    grad_accum_steps: int = 1
     tensorboard_dir: str = ""
     optim: OptimConfig = field(default_factory=OptimConfig)
 

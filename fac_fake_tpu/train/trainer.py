@@ -143,6 +143,8 @@ class Trainer:
             # end-to-end (the subtract/divide fuse into the stem conv)
             return (x01 - mean.astype(x01.dtype)) / std.astype(x01.dtype)
 
+        accum = max(1, int(getattr(self.cfg.train, "grad_accum_steps", 1)))
+
         def train_step(state: TrainState, batch, rng):
             # derive the per-step key inside the jit (rng is a per-epoch key;
             # folding in the step count avoids a host-side split dispatch —
@@ -152,18 +154,75 @@ class Trainer:
             x = normalize(imgs)
             mutable = ["batch_stats"] + (["schedule"] if state.schedule else [])
 
-            def loss_of(params):
-                variables = {"params": params, "batch_stats": state.batch_stats}
-                if state.schedule:
-                    variables["schedule"] = state.schedule
-                logits, mut = model.apply(variables, x, train=True,
+            def loss_of(params, x_mb, labels, mask, batch_stats, schedule):
+                variables = {"params": params, "batch_stats": batch_stats}
+                if schedule:
+                    variables["schedule"] = schedule
+                logits, mut = model.apply(variables, x_mb, train=True,
                                           mutable=mutable)
                 # mask pad rows out of the loss too (public fit() may feed
                 # drop_last=False iterators; metrics already honor the mask)
-                return loss_fn(logits, batch["label"], batch["mask"]), (logits, mut)
+                return loss_fn(logits, labels, mask), (logits, mut)
 
-            (loss, (logits, mut)), grads = jax.value_and_grad(
-                loss_of, has_aux=True)(state.params)
+            grad_of = jax.value_and_grad(loss_of, has_aux=True)
+
+            if accum == 1:
+                (loss, (logits, mut)), grads = grad_of(
+                    state.params, x, batch["label"], batch["mask"],
+                    state.batch_stats, state.schedule)
+                cnt = jnp.sum(batch["mask"])
+                correct = _count_correct(logits, batch["label"], batch["mask"])
+            else:
+                # gradient accumulation: scan microbatches, ONE optimizer
+                # update from the mask-count-weighted mean gradient — the
+                # exact big-batch gradient for BN-free models (both losses
+                # are mask-means; BN normalizes per microbatch, the same
+                # caveat torch grad-accum carries), at 1/accum the
+                # activation memory. BN stats / schedule counters advance
+                # per microbatch.
+                b = x.shape[0]
+                assert b % accum == 0, (
+                    f"batch {b} not divisible by grad_accum_steps {accum}")
+                mb = b // accum
+
+                ndata = self.mesh.shape["data"]
+
+                def split(a):
+                    a = a.reshape((accum, mb) + a.shape[1:])
+                    if mb % ndata:   # let GSPMD pick a layout for tiny mbs
+                        return a
+                    # keep microbatches sharded over 'data' after the fold
+                    return jax.lax.with_sharding_constraint(
+                        a, NamedSharding(self.mesh, P(None, "data")))
+
+                xs = {"x": split(x), "label": split(batch["label"]),
+                      "mask": split(batch["mask"])}
+
+                def micro(carry, s):
+                    bs_, sch_, gsum, loss_sum, corr, cnt = carry
+                    (l, (logits, mut)), g = grad_of(
+                        state.params, s["x"], s["label"], s["mask"],
+                        bs_, sch_)
+                    c = jnp.sum(s["mask"])
+                    gsum = jax.tree.map(lambda a, gi: a + gi * c, gsum, g)
+                    return (mut.get("batch_stats", bs_),
+                            mut.get("schedule", sch_),
+                            gsum, loss_sum + l * c,
+                            corr + _count_correct(logits, s["label"],
+                                                  s["mask"]),
+                            cnt + c), None
+
+                zeros = jax.tree.map(jnp.zeros_like, state.params)
+                (new_bs, new_sch, gsum, loss_sum, correct, cnt), _ = \
+                    jax.lax.scan(micro, (state.batch_stats, state.schedule,
+                                         zeros, jnp.zeros((), jnp.float32),
+                                         jnp.zeros((), jnp.float32),
+                                         jnp.zeros((), jnp.float32)), xs)
+                denom = jnp.maximum(cnt, 1.0)
+                grads = jax.tree.map(lambda a: a / denom, gsum)
+                loss = loss_sum / denom
+                mut = {"batch_stats": new_bs, "schedule": new_sch}
+
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = jax.tree.map(lambda p, u: p + u, state.params, updates)
             new_state = state.replace(
@@ -172,8 +231,8 @@ class Trainer:
                 schedule=mut.get("schedule", state.schedule))
             metrics = {
                 "loss": loss,
-                "correct": _count_correct(logits, batch["label"], batch["mask"]),
-                "count": jnp.sum(batch["mask"]),
+                "correct": correct,
+                "count": cnt,
             }
             return new_state, metrics
 

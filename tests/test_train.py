@@ -331,3 +331,65 @@ def test_tensorboard_scalars_and_graph_dump(tmp_path):
     assert any(f.startswith("events") for f in os.listdir(tb))
     hlo = (tb / "model_graph.stablehlo.txt").read_text()
     assert "stablehlo" in hlo or "func.func" in hlo, hlo[:200]
+
+
+def test_grad_accumulation_matches_big_batch_step():
+    """grad_accum_steps=4 applies ONE Adam update from the mask-weighted
+    mean microbatch gradient. For a BatchNorm-free model that is numerically
+    the big-batch update (both losses are mask-means); with BN the forward
+    normalizes per microbatch, so only the microbatch semantics (stats
+    advancing per microbatch, same as torch grad accumulation) are pinned."""
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.models.cvit import CViT
+    from fac_fake_tpu.train.trainer import Trainer
+
+    batch = {"image": np.random.default_rng(0).integers(
+                 0, 255, (16, 32, 32, 3), dtype=np.uint8),
+             "label": np.arange(16, dtype=np.int32) % 2,
+             "mask": np.ones((16,), np.float32)}
+
+    def nobn_model():
+        spec = ()
+        for _ in range(5):
+            spec += (("conv", 8), ("relu",), ("pool",))
+        return CViT(stem_spec=spec, patch_size=1, dim=32, depth=1, heads=2,
+                    mlp_dim=32, pos_mode="patch")
+
+    def one_step(accum, model_fn):
+        cfg = _small_cfg(epochs=1, grad_accum_steps=accum)
+        trainer = Trainer(model_fn(), cfg, input_shape=(1, 32, 32, 3))
+        state = trainer.shard_state(trainer.init_state())
+        state, m = trainer.train_step(state, trainer.put_batch(batch),
+                                      jax.random.key(7))
+        return state, m
+
+    # exact equivalence on the BN-free model
+    s1, m1 = one_step(1, nobn_model)
+    s4, m4 = one_step(4, nobn_model)
+    assert abs(float(m1["loss"]) - float(m4["loss"])) < 1e-5
+    assert float(m1["correct"]) == float(m4["correct"])
+    assert float(m1["count"]) == float(m4["count"]) == 16.0
+    # same post-update params (fp reassociation only)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s4.params)):
+        assert jnp.allclose(a, b, atol=2e-5), float(jnp.abs(a - b).max())
+
+    # BN model: running stats advance once per microbatch (momentum applied
+    # 4x vs 1x) — must differ, and the losses stay in the same ballpark
+    b1, n1 = one_step(1, _tiny_model)
+    b4, n4 = one_step(4, _tiny_model)
+    bs1 = jax.tree.leaves(b1.batch_stats)
+    bs4 = jax.tree.leaves(b4.batch_stats)
+    assert any(not jnp.allclose(a, b, atol=1e-6) for a, b in zip(bs1, bs4))
+    assert abs(float(n1["loss"]) - float(n4["loss"])) < 0.05
+
+
+def test_grad_accumulation_learns():
+    from fac_fake_tpu.train.trainer import Trainer
+
+    cfg = _small_cfg(epochs=4, grad_accum_steps=2)
+    cfg.train.optim.lr = 3e-3
+    trainer = Trainer(_tiny_model(), cfg, input_shape=(1, 32, 32, 3))
+    batches = synthetic_batches(4, 16, image_size=32)
+    out = trainer.fit(lambda e: iter(batches))
+    assert out["history"]["train_loss"][-1] < out["history"]["train_loss"][0]
