@@ -16,9 +16,9 @@ Secondary numbers ride in the same JSON line under "secondary":
     metric; skipped when the reference isn't mounted);
   * videos_per_min_batched — the production throughput path
     (score_videos_batched: V-slot packed forwards, pipelined gathers);
-  * int8_crops_per_sec — the PTQ int8-stem serving path
-    (compat/quantize.py): the v5e MXU's int8 rate is 2x bf16 exactly where
-    the early convs are padding-bound;
+  * int8_crops_per_sec / int8_flagship_crops_per_sec — the PTQ int8-stem
+    serving path (compat/quantize.py, all stems): the v5e MXU's int8 rate
+    is 2x bf16 exactly where the early convs are padding-bound;
   * train_img_per_sec — device-cached CViT training (batch 256, bf16,
     full strong_aug), the Trainer's scanned-epoch path.
 
@@ -175,6 +175,11 @@ def main():
                                                             quantize=True), 1)
     except Exception as e:
         secondary["int8_error"] = repr(e)[:120]
+    try:
+        secondary["int8_flagship_crops_per_sec"] = round(
+            _throughput("cvit_repbn8", quantize=True), 1)
+    except Exception as e:
+        secondary["int8_flagship_error"] = repr(e)[:120]
     try:
         secondary["train_img_per_sec"] = round(_train_throughput(), 1)
     except Exception as e:

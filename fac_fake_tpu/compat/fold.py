@@ -67,7 +67,26 @@ def fold_stem_bn(spec: Tuple, params: dict, stats: dict) -> Tuple[Tuple, dict, d
             i += 2  # skip the bn
             out_i += 1
             continue
-        if kind in ("conv", "deconv", "bn", "scconv", "wtconv", "idw", "od"):
+        if kind == "deconv":
+            # bare DEConv (no trailing BN — e.g. the RepBn8 128-stage
+            # quirk): compose the five branches into ONE conv kernel anyway.
+            # Exact (the forward sums branch weights), and it keeps the
+            # folded spec in plain conv/relu/pool form so int8 PTQ
+            # (`compat/quantize.py`) can cover the whole stem.
+            from fac_fake_tpu.models.blocks.deconv import \
+                compose_deconv_weight
+            p = {k: np.asarray(v) for k, v in params[name].items()}
+            w = np.asarray(compose_deconv_weight(
+                p["w_cd"], p["w_hd"], p["w_vd"], p["w_ad"], p["w_std"]))
+            total_b = sum(p[bk] for bk in ("b_cd", "b_hd", "b_vd",
+                                           "b_ad", "b_std"))
+            new_params[f"l{out_i}"] = {"kernel": w, "bias": total_b}
+            new_spec.append(("conv", op[1]))
+            remap[i] = out_i
+            i += 1
+            out_i += 1
+            continue
+        if kind in ("conv", "bn", "scconv", "wtconv", "idw", "od"):
             if name in params:
                 new_params[f"l{out_i}"] = params[name]
             if name in stats:

@@ -100,21 +100,52 @@ def quantize_cvit(model, variables, calib_x):
     """fold_cvit-shaped transform: returns (qmodel, qvariables).
 
     `calib_x` is a normalized input batch (what the model's `__call__`
-    receives). Quantizes `stem`; `stem2`/`stem3` keep fp weights (their
-    inputs depend on inter-stem blocks not modeled by the calibration walk).
+    receives). Quantizes every stem (`stem`/`stem2`/`stem3`): calibration
+    inputs for the later stems come from ONE fp forward capturing the
+    `stemN_input` sows (`models/cvit.py` — the activations each stem
+    actually sees, including any slot block between stems). Sequential fp
+    calibration is the standard PTQ recipe: each stem's scales are set from
+    fp activations, and the quantized prefixes track them to within quant
+    noise.
     """
     params = dict(variables["params"])
-    spec = getattr(model, "stem_spec", None)
-    if spec is None or "stem" not in params:
+    if getattr(model, "stem_spec", None) is None or "stem" not in params:
         raise ValueError("model has no foldable stem to quantize")
-    if any(op[0] == "bn" for op in spec):
-        raise ValueError("quantize_cvit expects a folded stem "
-                         "(run fold_cvit first)")
-    new_spec, new_p, n_q = quantize_stem(spec, params["stem"], calib_x)
-    if n_q == 0:
+    stems = [(n, f) for n, f in (("stem", "stem_spec"),
+                                 ("stem2", "stem2_spec"),
+                                 ("stem3", "stem3_spec"))
+             if getattr(model, f, None) is not None and n in params]
+    for n, f in stems:
+        if any(op[0] == "bn" for op in getattr(model, f)):
+            raise ValueError("quantize_cvit expects a folded stem "
+                             "(run fold_cvit first)")
+    inputs = {"stem": jnp.asarray(calib_x)}
+    if len(stems) > 1:
+        kw = {}
+        if getattr(model, "pos_mode", None) == "legacy":
+            # legacy (32,1,dim) pos-embedding caps batch at 32; the capture
+            # forward only needs the stems, so any row assignment works
+            kw["pos_indices"] = jnp.arange(inputs["stem"].shape[0]) % 32
+        _, inter = model.apply(variables, inputs["stem"], train=False,
+                               mutable=["intermediates"], **kw)
+        sows = inter["intermediates"]
+        for n, _f in stems[1:]:
+            if f"{n}_input" in sows:
+                inputs[n] = sows[f"{n}_input"][0]
+    updates = {}
+    n_total = 0
+    for n, f in stems:
+        if n not in inputs:
+            continue
+        new_spec, new_p, n_q = quantize_stem(getattr(model, f), params[n],
+                                             inputs[n])
+        if n_q:
+            updates[f] = new_spec
+            params[n] = new_p
+            n_total += n_q
+    if n_total == 0:
         return model, variables
-    params["stem"] = new_p
-    qmodel = dataclasses.replace(model, stem_spec=new_spec)
+    qmodel = dataclasses.replace(model, **updates)
     qvars = dict(variables)
     qvars["params"] = params
     return qmodel, qvars

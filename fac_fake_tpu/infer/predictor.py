@@ -116,7 +116,9 @@ class VideoScorer:
             calib = normalize_imagenet(jnp.asarray(calib_crops_u8))
             model, variables = quantize_cvit(
                 self.model, jax.device_get(self.variables), calib)
-            n_q = sum(op[0] == "qconv" for op in model.stem_spec)
+            n_q = sum(op[0] == "qconv"
+                      for f in ("stem_spec", "stem2_spec", "stem3_spec")
+                      for op in (getattr(model, f, None) or ()))
             self.model = model
             self.variables = jax.device_put(
                 variables, self._rep) if self.mesh is not None \

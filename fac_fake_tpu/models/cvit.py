@@ -116,10 +116,14 @@ class CViT(nn.Module):
             if self.slot1 is not None:
                 x = self._apply_block(x, self.slot1, train)
             if self.stem2_spec is not None:
+                # sown for PTQ calibration (`compat/quantize.py` reads each
+                # stem's input activations); no-op unless capturing
+                self.sow("intermediates", "stem2_input", x)
                 x = Stem(self.stem2_spec, dtype=self.dtype, name="stem2")(x, train)
                 if self.slot2 is not None:
                     x = self._apply_block(x, self.slot2, train)
             if self.stem3_spec is not None:
+                self.sow("intermediates", "stem3_input", x)
                 x = Stem(self.stem3_spec, dtype=self.dtype, name="stem3")(x, train)
             if self.slot3 is not None:
                 x = self._apply_block(x, self.slot3, train)

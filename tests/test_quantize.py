@@ -125,6 +125,39 @@ def test_mesh_sharded_int8_matches_single_device():
     assert abs(single - sharded) < 1e-5, (single, sharded)
 
 
+def test_quantize_multi_stem_with_slot_block():
+    """Flagship-shaped models (stem + slot block + stem2) quantize BOTH
+    stems: the second stem's activation scales calibrate from the sown
+    `stem2_input` (the real post-slot activations), and logits still track
+    the folded fp model."""
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.compat.fold import fold_cvit
+    from fac_fake_tpu.compat.quantize import quantize_cvit
+    from fac_fake_tpu.models.cvit import CViT
+
+    s1 = (("conv", 8), ("bn", 8), ("relu",), ("pool",),
+          ("conv", 16), ("bn", 16), ("relu",), ("pool",))
+    s2 = (("conv", 16), ("bn", 16), ("relu",), ("pool",))
+    model = CViT(stem_spec=s1, stem2_spec=s2, slot1=("ggca", "add", 16),
+                 patch_size=1, dim=32, depth=1, heads=2, mlp_dim=32,
+                 pos_mode="patch")
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(rng.standard_normal((4, 32, 32, 3)) * 0.5, jnp.float32)
+    variables = model.init(jax.random.key(6), x0[:1])
+    fmodel, fvars = fold_cvit(model, variables)
+
+    qmodel, qvars = quantize_cvit(fmodel, fvars, x0)
+    assert sum(op[0] == "qconv" for op in qmodel.stem_spec) == 2
+    assert sum(op[0] == "qconv" for op in qmodel.stem2_spec) == 1
+
+    xe = jnp.asarray(rng.standard_normal((4, 32, 32, 3)) * 0.5, jnp.float32)
+    ref = np.asarray(fmodel.apply(fvars, xe, train=False))
+    out = np.asarray(qmodel.apply(qvars, xe, train=False))
+    spread = max(np.abs(ref).max(), 1e-3)
+    assert np.abs(out - ref).max() <= 0.1 * spread, (out, ref)
+
+
 def test_quantize_requires_folded_stem():
     import jax
     import jax.numpy as jnp
