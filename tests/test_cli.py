@@ -181,6 +181,46 @@ def test_serve_cli_end_to_end(tmp_path):
         box[0].shutdown()
 
 
+def test_serve_video_root_allowlist(tmp_path):
+    """GET /score?path= outside --video-root → 403; non-loopback bind
+    without --video-root/--allow-any-path is refused outright
+    (`cli/serve.py:169-174`)."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from fac_fake_tpu.cli.serve import serve, build_scorer, parse_args
+
+    args = parse_args(["--set", "model.depth=1", "model.dim=32",
+                       "model.mlp_dim=32", "model.heads=2",
+                       "model.channels=32", "infer.batch_crops=32"])
+    scorer = build_scorer(args)
+    root = tmp_path / "videos"
+    root.mkdir()
+    ready = threading.Event()
+    box = []
+    t = threading.Thread(
+        target=serve,
+        args=(["--port", "0", "--no-warmup", "--video-root", str(root)],),
+        kwargs=dict(scorer=scorer, ready_event=ready, server_box=box),
+        daemon=True)
+    t.start()
+    assert ready.wait(60)
+    port = box[0].server_address[1]
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/score?path=/etc/hostname",
+                timeout=30)
+        assert ei.value.code == 403
+    finally:
+        box[0].shutdown()
+
+    # non-loopback bind without an allowlist refuses to start
+    with pytest.raises(SystemExit):
+        serve(["--host", "0.0.0.0", "--port", "0"], scorer=scorer)
+
+
 def test_export_cli_all_formats(tmp_path, capsys):
     """One front door for every export artifact: onnx round-trips through
     the independent evaluator, stablehlo reloads and matches, torch saves a
