@@ -20,7 +20,10 @@ Secondary numbers ride in the same JSON line under "secondary":
     serving path (compat/quantize.py, all stems): the v5e MXU's int8 rate
     is 2x bf16 exactly where the early convs are padding-bound;
   * train_img_per_sec — device-cached CViT training (batch 256, bf16,
-    full strong_aug), the Trainer's scanned-epoch path.
+    full strong_aug), the Trainer's scanned-epoch path;
+  * s3d_train_clips_per_sec — CA_S3D (the S3D family's default model,
+    `S3D-train.py:169-171`) training on 20×224² clips, batch 8, bf16 —
+    the second model family's driver-visible number.
 
 (The round-2 pallas_normalize row is gone with the kernel: it measured ~9%
 slower than XLA's fusion and was deleted per the use-or-lose rule.)
@@ -163,6 +166,41 @@ def _train_throughput() -> float:
     return n / dt
 
 
+def _s3d_train_throughput() -> float:
+    """CA_S3D training clips/s: batch 8, 20×224² clips, bf16 mixed
+    precision, device-cached scanned epoch — the S3D workload's hot loop
+    (`S3D-train.py:318-443`, weighted BCE on raw 0-255 inputs)."""
+    from fac_fake_tpu.core.config import Config
+    from fac_fake_tpu.models import build_model
+    from fac_fake_tpu.train.trainer import Trainer
+
+    batch, steps, frames, size = 8, 16, 20, 224
+    cfg = Config()
+    cfg.model.name = "ca_s3d"
+    cfg.model.dtype = "bfloat16"
+    cfg.data.image_size = size
+    cfg.data.normalize = "raw255"
+    cfg.train.loss = "bce_weighted"
+    cfg.train.log_every = 0
+
+    trainer = Trainer(build_model(cfg.model), cfg,
+                      loss_kwargs={"pos_weight": 1.0},
+                      input_shape=(1, frames, size, size, 3))
+    state = trainer.shard_state(trainer.init_state())
+    rng = jax.random.key(0)
+    gen = np.random.default_rng(0)
+    n = batch * steps
+    cache = trainer.cache_data(
+        gen.integers(0, 255, (n, frames, size, size, 3), dtype=np.uint8),
+        gen.integers(0, 2, (n,)).astype(np.int32), batch)
+
+    state, rng, _ = trainer._run_epoch(state, cache, rng, train=True)  # compile
+    t0 = time.perf_counter()
+    state, rng, _ = trainer._run_epoch(state, cache, rng, train=True)
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
 def main():
     crops_per_sec = _throughput("cvit")
     secondary = {}
@@ -184,6 +222,10 @@ def main():
         secondary["train_img_per_sec"] = round(_train_throughput(), 1)
     except Exception as e:
         secondary["train_error"] = repr(e)[:120]
+    try:
+        secondary["s3d_train_clips_per_sec"] = round(_s3d_train_throughput(), 1)
+    except Exception as e:
+        secondary["s3d_train_error"] = repr(e)[:120]
     try:
         secondary.update(_video_latency())
     except Exception as e:
