@@ -127,6 +127,35 @@ def test_evaluate_cli_csv(tmp_path, capsys):
     assert "accuracy: 100.00%" in out and "(2 scored)" in out
 
 
+def test_evaluate_cli_gradcam_and_plots(tmp_path, capsys):
+    """`evaluate gradcam` (figure/gradcam_{cnn,transformer}.py) and
+    `evaluate plots` (figure/figure.py) end-to-end: overlays + curve PNG."""
+    import pickle
+
+    import cv2
+    from fac_fake_tpu.cli.evaluate import main
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (300, 260, 3), dtype=np.uint8)
+    img_path = tmp_path / "face.jpg"
+    cv2.imwrite(str(img_path), img)
+
+    out_dir = tmp_path / "cams"
+    for mode in ("cnn", "tokens"):
+        outs = main(["gradcam", "--images", str(img_path), "--mode", mode,
+                     "--out-dir", str(out_dir)])
+        assert outs == [str(out_dir / "face_cam.png")]
+        overlay = cv2.imread(outs[0])
+        assert overlay is not None and overlay.shape == (224, 224, 3)
+
+    hist = tmp_path / "h.pkl"
+    with open(hist, "wb") as f:
+        pickle.dump([[1.0, 0.5], [0.6, 0.8], [1.1, 0.7], [0.5, 0.7]], f)
+    out = main(["plots", "--history", str(hist), "--out",
+                str(tmp_path / "h.png")])
+    assert out == str(tmp_path / "h.png") and os.path.exists(out)
+
+
 @pytest.mark.skipif(not os.path.isdir(SAMPLES), reason="reference not mounted")
 def test_serve_cli_end_to_end(tmp_path):
     """Real HTTP round trip: health check, GET ?path= scoring, POST upload."""
