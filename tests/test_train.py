@@ -236,6 +236,29 @@ def test_device_cached_training_learns():
     assert h["val_acc"][-1] > 0.9
 
 
+def test_gather_rows_both_strategies_match_take():
+    """`_gather_rows` (TPU-tuned shuffle gather) must equal a plain row
+    gather on both branches: unrolled dynamic_slices for few big rows
+    (S3D clip caches), jnp.take for many small rows (CViT crop caches)."""
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.train.trainer import _gather_rows
+
+    rng = np.random.default_rng(0)
+    # big rows (>1 MB each), small batch -> unrolled dynamic_slice branch
+    clips = jnp.asarray(rng.integers(0, 255, (6, 4, 224, 224, 3),
+                                     dtype=np.uint8).reshape(6, -1))
+    idx = jnp.asarray([4, 0, 5, 2])
+    out = jax.jit(_gather_rows)(clips, idx)
+    assert bool(jnp.all(out == jnp.take(clips, idx, axis=0)))
+
+    # small rows -> jnp.take branch
+    crops = jnp.asarray(rng.integers(0, 255, (10, 8, 8, 3), dtype=np.uint8))
+    idx = jnp.asarray([9, 3, 1, 7, 0])
+    out = jax.jit(_gather_rows)(crops, idx)
+    assert bool(jnp.all(out == jnp.take(crops, idx, axis=0)))
+
+
 def test_device_cached_eval_matches_streamed():
     """The scanned eval epoch computes exactly the streamed epoch's
     loss/acc (same batching, no shuffle, no augs)."""
