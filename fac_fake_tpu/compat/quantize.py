@@ -96,7 +96,23 @@ def quantize_stem(spec: Tuple, params: dict, calib_x: jnp.ndarray,
     return tuple(new_spec), new_params, n_q
 
 
-def quantize_cvit(model, variables, calib_x):
+def _quantize_dense(p: dict, x_in) -> dict:
+    """nn.Dense params → QuantDense params (`models/layers.py QuantDense`):
+    per-output-channel int8 weights, per-tensor activation scale from the
+    calibration input's abs-max."""
+    w = np.asarray(p["kernel"], np.float32)           # (in, out)
+    s_w = np.maximum(np.max(np.abs(w), axis=0) / 127.0,
+                     1e-12).astype(np.float32)
+    s_x = np.float32(max(float(jnp.max(jnp.abs(x_in))), 1e-8) / 127.0)
+    w_q = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
+    out = {"kernel_q": jnp.asarray(w_q), "w_scale": jnp.asarray(s_w),
+           "x_scale": jnp.asarray(s_x)}
+    if "bias" in p:
+        out["bias"] = jnp.asarray(p["bias"], jnp.float32)
+    return out
+
+
+def quantize_cvit(model, variables, calib_x, transformer: bool = False):
     """fold_cvit-shaped transform: returns (qmodel, qvariables).
 
     `calib_x` is a normalized input batch (what the model's `__call__`
@@ -107,6 +123,13 @@ def quantize_cvit(model, variables, calib_x):
     calibration is the standard PTQ recipe: each stem's scales are set from
     fp activations, and the quantized prefixes track them to within quant
     noise.
+
+    With `transformer=True` the big Dense matmuls quantize too — the
+    25088→dim patch embedding, every attention qkv/out, every FFN fc1/fc2,
+    and the MLP head's fc1 — which is where the model's FLOPs actually live
+    (the reference forward, `model/cvit.py:167-179`). LayerNorm, softmax and
+    the 2-logit output head stay floating point. Activation scales come from
+    the same capture forward's per-layer input sows.
     """
     params = dict(variables["params"])
     if getattr(model, "stem_spec", None) is None or "stem" not in params:
@@ -120,11 +143,12 @@ def quantize_cvit(model, variables, calib_x):
             raise ValueError("quantize_cvit expects a folded stem "
                              "(run fold_cvit first)")
     inputs = {"stem": jnp.asarray(calib_x)}
-    if len(stems) > 1:
+    sows = {}
+    if len(stems) > 1 or transformer:
         kw = {}
         if getattr(model, "pos_mode", None) == "legacy":
             # legacy (32,1,dim) pos-embedding caps batch at 32; the capture
-            # forward only needs the stems, so any row assignment works
+            # forward only needs activations, so any row assignment works
             kw["pos_indices"] = jnp.arange(inputs["stem"].shape[0]) % 32
         _, inter = model.apply(variables, inputs["stem"], train=False,
                                mutable=["intermediates"], **kw)
@@ -143,6 +167,33 @@ def quantize_cvit(model, variables, calib_x):
             updates[f] = new_spec
             params[n] = new_p
             n_total += n_q
+
+    if transformer:
+        params["patch_to_embedding"] = _quantize_dense(
+            params["patch_to_embedding"], sows["pe_input"][0])
+        tr = {k: dict(v) for k, v in params["transformer"].items()}
+        tsows = sows["transformer"]
+        for lname, lp in tr.items():
+            if lname.startswith("attn") and "to_qkv" in lp:
+                lp["to_qkv"] = _quantize_dense(lp["to_qkv"],
+                                               tsows[lname]["qkv_in"][0])
+                lp["to_out"] = _quantize_dense(lp["to_out"],
+                                               tsows[lname]["out_in"][0])
+                n_total += 2
+            elif lname.startswith("ffn") and "fc1" in lp:
+                lp["fc1"] = _quantize_dense(lp["fc1"],
+                                            tsows[lname]["fc1_in"][0])
+                lp["fc2"] = _quantize_dense(lp["fc2"],
+                                            tsows[lname]["fc2_in"][0])
+                n_total += 2
+        params["transformer"] = tr
+        head = dict(params["mlp_head"])
+        head["fc1"] = _quantize_dense(head["fc1"],
+                                      sows["mlp_head"]["fc1_in"][0])
+        params["mlp_head"] = head
+        updates["quant_dense"] = True
+        n_total += 2
+
     if n_total == 0:
         return model, variables
     qmodel = dataclasses.replace(model, **updates)

@@ -281,7 +281,9 @@ class InferConfig:
     no_face_score: float = 0.5
     # "int8": post-training-quantized stem (TPU MXU 2× int8 rate), PTQ
     # calibrated on the first scored crop batch — see compat/quantize.py.
-    # Scores shift within quantization noise; "none" keeps exact bf16.
+    # "int8_full" additionally quantizes the patch embedding + transformer
+    # Dense matmuls (where the FLOPs are). Scores shift within quantization
+    # noise; "none" keeps exact bf16.
     quantize: str = "none"
 
 

@@ -77,7 +77,7 @@ class VideoScorer:
         self.capacity = self.cfg.infer.batch_crops
         # int8 PTQ (TPU extension, no reference analogue): calibrated lazily
         # on the first real crop batch, see `quantize_int8`
-        self._quant_pending = self.cfg.infer.quantize == "int8"
+        self._quant_pending = self.cfg.infer.quantize in ("int8", "int8_full")
         self._build_score()
 
     def _build_score(self):
@@ -115,7 +115,8 @@ class VideoScorer:
                 return 0            # already quantized (racing callers)
             calib = normalize_imagenet(jnp.asarray(calib_crops_u8))
             model, variables = quantize_cvit(
-                self.model, jax.device_get(self.variables), calib)
+                self.model, jax.device_get(self.variables), calib,
+                transformer=self.cfg.infer.quantize == "int8_full")
             n_q = sum(op[0] == "qconv"
                       for f in ("stem_spec", "stem2_spec", "stem3_spec")
                       for op in (getattr(model, f, None) or ()))

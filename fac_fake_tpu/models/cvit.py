@@ -36,7 +36,7 @@ from fac_fake_tpu.models.blocks.odconv import ODConv2d
 from fac_fake_tpu.models.blocks.sla import SimplifiedLinearAttention
 from fac_fake_tpu.models.blocks.smfa import SMFA
 from fac_fake_tpu.models.blocks.uffc import FourierUnitModified
-from fac_fake_tpu.models.layers import MLPHead, TransformerEncoder
+from fac_fake_tpu.models.layers import MLPHead, TransformerEncoder, dense
 from fac_fake_tpu.models.stems import (Stem, StemSpec, repbn8_stem1,
                                        repbn8_stem2, vgg_stem)
 
@@ -74,6 +74,7 @@ class CViT(nn.Module):
     pos_mode: str = "legacy"          # legacy | patch
     ffn_norm: str = "ln"              # ln | linearnorm
     use_ggca: bool = False            # legacy shorthand: GGCA 'mul' after last stem
+    quant_dense: bool = False         # PTQ int8 patch-embedding + transformer
     dtype: Any = jnp.float32
 
     def _apply_block(self, x, blk: BlockRef, train: bool):
@@ -134,7 +135,11 @@ class CViT(nn.Module):
         self.sow("intermediates", "stem_features", x)
 
         y = patchify(x, self.patch_size)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="patch_to_embedding")(y)
+        # PTQ calibration tap + int8 swap (`compat/quantize.py`): the
+        # patchify→dim projection is the model's single largest matmul
+        self.sow("intermediates", "pe_input", y)
+        y = dense(self.dim, quant=self.quant_dense, dtype=self.dtype,
+                  name="patch_to_embedding")(y)
         if embed_override is not None:
             # GradCAM token hook (gradcam_transformer.py equivalent)
             y = embed_override
@@ -186,9 +191,11 @@ class CViT(nn.Module):
             tokens = tb.transpose(0, 3, 1, 2).reshape(b, 2, self.dim)
 
         tokens = TransformerEncoder(self.dim, self.depth, self.heads, self.mlp_dim,
-                                    ffn_norm=self.ffn_norm, dtype=self.dtype,
+                                    ffn_norm=self.ffn_norm, quant=self.quant_dense,
+                                    dtype=self.dtype,
                                     name="transformer")(tokens, mask, train)
-        return MLPHead(self.mlp_dim, self.num_classes, dtype=self.dtype,
+        return MLPHead(self.mlp_dim, self.num_classes, quant=self.quant_dense,
+                       dtype=self.dtype,
                        name="mlp_head")(tokens[:, 0]).astype(jnp.float32)
 
 

@@ -139,6 +139,53 @@ class QuantConv3x3(nn.Module):
         return out.astype(self.dtype)
 
 
+class QuantDense(nn.Module):
+    """Post-training-quantized Dense (inference only).
+
+    int8 symmetric weights (per-output-channel scale) × int8 symmetric
+    activations (per-tensor scale, calibrated offline by
+    `compat/quantize.py`), int32 accumulation on the MXU. This is where
+    int8's 2× MXU rate actually buys throughput: the CViT's FLOPs
+    concentrate in the 25088→1024 patch embedding and the dim-1024/2048
+    transformer matmuls (`model/cvit.py:167-179` is the reference forward
+    this serves), all large, dense, and MXU-shaped at serving batch sizes.
+    Dequant (`· s_x·s_w[o] + b`) fuses into the matmul epilogue.
+    """
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel_q = self.param(
+            "kernel_q", lambda k, s: jnp.zeros(s, jnp.int8),
+            (cin, self.features))
+        w_scale = self.param("w_scale", nn.initializers.ones,
+                             (self.features,), jnp.float32)
+        x_scale = self.param("x_scale", nn.initializers.ones, (), jnp.float32)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
+                      -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq, kernel_q, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = y.astype(jnp.float32) * (x_scale * w_scale)
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (self.features,), jnp.float32)
+        return out.astype(self.dtype)
+
+
+def dense(features: int, *, quant: bool, use_bias: bool = True,
+          dtype: Dtype, name: str):
+    """nn.Dense, or its PTQ int8 twin under the SAME name — the quantizer
+    (`compat/quantize.py`) rewrites the kernel leaf in place, so parameter
+    tree paths stay identical either way."""
+    if quant:
+        return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
 class MultiHeadSelfAttention(nn.Module):
     """Reference CViT attention (`model/cvit.py:34-62`), vectorized.
 
@@ -147,6 +194,7 @@ class MultiHeadSelfAttention(nn.Module):
     """
     dim: int
     heads: int = 8
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -156,7 +204,11 @@ class MultiHeadSelfAttention(nn.Module):
         head_dim = self.dim // h
         scale = self.dim ** -0.5
 
-        qkv = nn.Dense(self.dim * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        # PTQ calibration taps (`compat/quantize.py`): no-ops unless the
+        # caller captures 'intermediates'
+        self.sow("intermediates", "qkv_in", x)
+        qkv = dense(self.dim * 3, quant=self.quant, use_bias=False,
+                    dtype=self.dtype, name="to_qkv")(x)
         # layout (b, n, 3, h, head_dim) matches torch's '(qkv h d)' packing
         qkv = qkv.reshape(b, n, 3, h, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # (b,h,n,hd)
@@ -172,20 +224,27 @@ class MultiHeadSelfAttention(nn.Module):
         attn = jax.nn.softmax(dots, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        self.sow("intermediates", "out_in", out)
+        return dense(self.dim, quant=self.quant, dtype=self.dtype,
+                     name="to_out")(out)
 
 
 class FeedForward(nn.Module):
     """dim → hidden (GELU) → dim (`model/cvit.py:22-32`)."""
     dim: int
     hidden_dim: int
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        self.sow("intermediates", "fc1_in", x)
+        x = dense(self.hidden_dim, quant=self.quant, dtype=self.dtype,
+                  name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        self.sow("intermediates", "fc2_in", x)
+        return dense(self.dim, quant=self.quant, dtype=self.dtype,
+                     name="fc2")(x)
 
 
 class RepBN(nn.Module):
@@ -255,6 +314,7 @@ class TransformerEncoder(nn.Module):
     heads: int
     mlp_dim: int
     ffn_norm: str = "ln"
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -262,25 +322,32 @@ class TransformerEncoder(nn.Module):
                  train: bool = False) -> jnp.ndarray:
         for i in range(self.depth):
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"attn_norm{i}")(x)
-            x = x + MultiHeadSelfAttention(self.dim, self.heads, dtype=self.dtype,
+            x = x + MultiHeadSelfAttention(self.dim, self.heads, quant=self.quant,
+                                           dtype=self.dtype,
                                            name=f"attn{i}")(h, mask)
             if self.ffn_norm == "linearnorm":
                 h = LinearNorm(self.dim, dtype=self.dtype, name=f"ffn_norm{i}")(x, train)
             else:
                 h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ffn_norm{i}")(x)
-            x = x + FeedForward(self.dim, self.mlp_dim, dtype=self.dtype,
-                                name=f"ffn{i}")(h)
+            x = x + FeedForward(self.dim, self.mlp_dim, quant=self.quant,
+                                dtype=self.dtype, name=f"ffn{i}")(h)
         return x
 
 
 class MLPHead(nn.Module):
-    """dim → mlp_dim (ReLU) → num_classes (`model/cvit.py:161-165`)."""
+    """dim → mlp_dim (ReLU) → num_classes (`model/cvit.py:161-165`).
+
+    Under PTQ only fc1 (dim→mlp_dim, the big matmul) quantizes; fc2's
+    2-logit output stays fp for final-score precision."""
     mlp_dim: int
     num_classes: int
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")(x)
+        self.sow("intermediates", "fc1_in", x)
+        x = dense(self.mlp_dim, quant=self.quant, dtype=self.dtype,
+                  name="fc1")(x)
         x = nn.relu(x)
         return nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(x)

@@ -158,6 +158,85 @@ def test_quantize_multi_stem_with_slot_block():
     assert np.abs(out - ref).max() <= 0.1 * spread, (out, ref)
 
 
+def test_quantize_transformer_tracks_fp():
+    """`transformer=True` quantizes the patch embedding, every attention
+    qkv/out, every FFN fc1/fc2 and the head's fc1 — logits must still track
+    the folded fp model within int8 PTQ noise."""
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.compat.fold import fold_cvit
+    from fac_fake_tpu.compat.quantize import quantize_cvit
+    from fac_fake_tpu.models.cvit import CViT
+
+    spec = ()
+    for ch in (8, 16):
+        spec += (("conv", ch), ("bn", ch), ("relu",),
+                 ("conv", ch), ("bn", ch), ("relu",), ("pool",))
+    model = CViT(stem_spec=spec, patch_size=1, dim=32, depth=2, heads=2,
+                 mlp_dim=64, pos_mode="patch")
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(rng.standard_normal((4, 32, 32, 3)) * 0.5, jnp.float32)
+    variables = model.init(jax.random.key(8), x0[:1])
+    fmodel, fvars = fold_cvit(model, variables)
+
+    qmodel, qvars = quantize_cvit(fmodel, fvars, x0, transformer=True)
+    assert qmodel.quant_dense
+    # every targeted Dense carries an int8 kernel
+    p = qvars["params"]
+    assert p["patch_to_embedding"]["kernel_q"].dtype == jnp.int8
+    for i in range(2):
+        assert p["transformer"][f"attn{i}"]["to_qkv"]["kernel_q"].dtype == jnp.int8
+        assert "bias" not in p["transformer"][f"attn{i}"]["to_qkv"]
+        assert p["transformer"][f"attn{i}"]["to_out"]["kernel_q"].dtype == jnp.int8
+        assert p["transformer"][f"ffn{i}"]["fc1"]["kernel_q"].dtype == jnp.int8
+        assert p["transformer"][f"ffn{i}"]["fc2"]["kernel_q"].dtype == jnp.int8
+    assert p["mlp_head"]["fc1"]["kernel_q"].dtype == jnp.int8
+    assert "kernel" in p["mlp_head"]["fc2"]     # 2-logit head stays fp
+
+    xe = jnp.asarray(rng.standard_normal((4, 32, 32, 3)) * 0.5, jnp.float32)
+    ref = np.asarray(fmodel.apply(fvars, xe, train=False))
+    out = np.asarray(qmodel.apply(qvars, xe, train=False))
+    spread = max(np.abs(ref).max(), 1e-3)
+    assert np.abs(out - ref).max() <= 0.1 * spread, (out, ref)
+    cos = np.sum(out * ref) / (np.linalg.norm(out) * np.linalg.norm(ref))
+    assert cos > 0.995, cos
+
+
+def test_quantize_transformer_flagship_shape_legacy_pos():
+    """Flagship-shaped quantization: multi-stem + slot block + LinearNorm
+    FFN pre-norms (eval path is pure LayerNorm) + legacy batch-indexed
+    pos-embedding with pos_indices through the quantized forward."""
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.compat.fold import fold_cvit
+    from fac_fake_tpu.compat.quantize import quantize_cvit
+    from fac_fake_tpu.models.cvit import CViT
+
+    s1 = (("conv", 8), ("bn", 8), ("relu",), ("pool",),
+          ("conv", 16), ("bn", 16), ("relu",), ("pool",))
+    s2 = (("conv", 16), ("bn", 16), ("relu",), ("pool",))
+    model = CViT(stem_spec=s1, stem2_spec=s2, use_ggca=True,
+                 ffn_norm="linearnorm", patch_size=1, dim=32, depth=1,
+                 heads=2, mlp_dim=32, pos_mode="legacy")
+    rng = np.random.default_rng(9)
+    x0 = jnp.asarray(rng.standard_normal((4, 32, 32, 3)) * 0.5, jnp.float32)
+    variables = model.init(jax.random.key(10), x0[:1], train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    fmodel, fvars = fold_cvit(model, variables)
+
+    qmodel, qvars = quantize_cvit(fmodel, fvars, x0, transformer=True)
+    assert qmodel.quant_dense
+    assert sum(op[0] == "qconv" for op in qmodel.stem_spec) == 2
+
+    xe = jnp.asarray(rng.standard_normal((4, 32, 32, 3)) * 0.5, jnp.float32)
+    pos = jnp.arange(4) % 32
+    ref = np.asarray(fmodel.apply(fvars, xe, train=False, pos_indices=pos))
+    out = np.asarray(qmodel.apply(qvars, xe, train=False, pos_indices=pos))
+    spread = max(np.abs(ref).max(), 1e-3)
+    assert np.abs(out - ref).max() <= 0.1 * spread, (out, ref)
+
+
 def test_quantize_requires_folded_stem():
     import jax
     import jax.numpy as jnp
