@@ -1,4 +1,4 @@
-"""Benchmark: CViT face-crop inference throughput per chip.
+"""Benchmark: CViT face-crop inference throughput per chip — deadline-safe.
 
 Primary metric (BASELINE.json): face-crops/sec/chip, target ≥ 2000 on TPU
 v5e-1 — measured on the production scoring path (uint8 crops → on-device
@@ -8,45 +8,72 @@ timing forced by fetching a scalar (through the axon relay,
 `block_until_ready` returns at enqueue and uploads run ~20 MB/s, so host
 transfers stay off the timed path; see .claude/skills/verify/SKILL.md).
 
-Secondary numbers ride in the same JSON line under "secondary":
-  * flagship_crops_per_sec — the cvit_repbn8 flagship (the reference's best
-    line, `4090RepBn8_*` CSVs);
-  * video_p50_s / video_p90_s / videos_per_min — warm end-to-end per-video
-    latency over the 8 reference sample videos (BASELINE.md secondary
-    metric; skipped when the reference isn't mounted);
-  * videos_per_min_batched — the production throughput path
-    (score_videos_batched: V-slot packed forwards, pipelined gathers);
-  * int8_crops_per_sec / int8_flagship_crops_per_sec — the PTQ int8-stem
-    serving path (compat/quantize.py, all stems): the v5e MXU's int8 rate
-    is 2x bf16 exactly where the early convs are padding-bound;
-  * train_img_per_sec — device-cached CViT training (batch 256, bf16,
-    full strong_aug), the Trainer's scanned-epoch path;
-  * s3d_train_clips_per_sec — CA_S3D (the S3D family's default model,
-    `S3D-train.py:169-171`) training on 20×224² clips, batch 8, bf16 —
-    the second model family's driver-visible number.
+Deadline architecture (round 4): the driver wraps `python bench.py` in a
+`timeout`, and round 3 proved that ~10 serially-compiled XLA graphs with no
+budget can starve the single end-of-process JSON line (BENCH_r03: rc=124,
+parsed=null). This file is now a PARENT ORCHESTRATOR:
 
-(The round-2 pallas_normalize row is gone with the kernel: it measured ~9%
-slower than XLA's fusion and was deleted per the use-or-lose rule.)
+  * global wall-clock budget `FAC_BENCH_BUDGET_S` (default 480 s), spent on
+    stage GROUPS in importance order — the primary crops/s row first;
+  * each group runs as a subprocess (`python bench.py --group <name>`) that
+    streams `ROW {json}` lines as each measurement completes, so a group
+    killed at its cap still contributes every row it finished;
+  * groups whose warm-path estimate no longer fits the remaining budget are
+    skipped and recorded as `"skipped_<group>": "budget"`;
+  * SIGTERM/SIGALRM in the parent kill the running child and print the
+    partial JSON line before exiting — a timeout degrades to fewer rows,
+    never to nothing.
+
+Rows (all crops/s rows at batch 2048 on device-resident uint8):
+  * value — base CViT crops/s (the BASELINE.md north star);
+  * flagship_crops_per_sec — cvit_repbn8 (the reference's best line,
+    `4090RepBn8_*` CSVs);
+  * int8_crops_per_sec / int8_flagship_crops_per_sec — PTQ int8 stems
+    (compat/quantize.py): the v5e MXU's int8 rate is 2x bf16 exactly where
+    the early convs are padding-bound;
+  * int8_full_crops_per_sec — stems + patch-embedding + transformer Dense
+    kernels quantized (where the FLOPs actually are);
+  * train_img_per_sec — device-cached CViT training (batch 256, bf16, full
+    strong_aug), the Trainer's scanned-epoch path;
+  * s3d_train_clips_per_sec — CA_S3D (`S3D-train.py:169-171`) training on
+    20×224² clips, batch 8, bf16;
+  * video_p50_s / video_p90_s / videos_per_min — warm end-to-end per-video
+    latency over the 8 reference sample videos;
+  * videos_per_min_batched — the production throughput path
+    (score_videos_batched: V-slot packed forwards, pipelined gathers).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "secondary"}.
 """
 import json
 import os
+import signal
+import subprocess
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 BASELINE_TARGET = 2000.0  # crops/sec/chip (BASELINE.md north star)
 BATCH = 2048
 
 
-def _throughput(model_name: str, quantize: bool = False) -> float:
-    """crops/s for one folded bf16 model on device-resident uint8 crops."""
+# ---------------------------------------------------------------------------
+# measurements (run inside --group subprocesses)
+# ---------------------------------------------------------------------------
+
+def _row(**kv):
+    """Stream one finished measurement to the parent, immediately."""
+    print("ROW " + json.dumps(kv), flush=True)
+
+
+def _throughput(model_name: str, quantize: str = "") -> float:
+    """crops/s for one folded bf16 model on device-resident uint8 crops.
+    `quantize`: "" (fp), "stem" (int8 stem prefix), "full" (stems +
+    transformer Dense kernels)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
     from fac_fake_tpu.compat.fold import fold_cvit
     from fac_fake_tpu.core.config import ModelConfig
     from fac_fake_tpu.models import build_model
@@ -59,7 +86,8 @@ def _throughput(model_name: str, quantize: bool = False) -> float:
         from fac_fake_tpu.compat.quantize import quantize_cvit
         calib = normalize_imagenet(jnp.asarray(np.random.default_rng(1)
                  .integers(0, 255, (64, 224, 224, 3), dtype=np.uint8)))
-        model, variables = quantize_cvit(model, variables, calib)
+        model, variables = quantize_cvit(model, variables, calib,
+                                         transformer=(quantize == "full"))
     variables = jax.device_put(variables)
     pos_idx = jnp.arange(BATCH) % 32
 
@@ -92,50 +120,25 @@ def _throughput(model_name: str, quantize: bool = False) -> float:
     return BATCH * iters / dt
 
 
-def _video_latency():
-    """Warm p50/p90 per-video latency over the reference sample videos."""
-    video_dir = "/root/reference/CViT-main/sample__prediction_data"
-    if not os.path.isdir(video_dir):
-        return {}
-    from fac_fake_tpu.core.config import Config, ModelConfig
-    from fac_fake_tpu.infer.predictor import VideoScorer
-    from fac_fake_tpu.models import build_model
-
-    cfg = Config()
-    model = build_model(ModelConfig(name="cvit", dtype="bfloat16"))
-    variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
-    scorer = VideoScorer(model, variables, cfg)
-    paths = sorted(os.path.join(video_dir, f) for f in os.listdir(video_dir)
-                   if f.endswith(".mp4"))
-    if not paths:
-        return {}
-    # decode is CPU-bound: more threads than cores inflates per-video
-    # latency ~linearly (measured 6× on the 1-core axon host)
-    workers = max(1, min(4, os.cpu_count() or 1))
-    scorer.score_videos(paths, workers)             # warmup: compiles + page cache
-    scorer.video_latencies = []
-    t0 = time.perf_counter()
-    scorer.score_videos(paths, workers)             # timed, warm
-    wall = time.perf_counter() - t0
-    stats = scorer.latency_stats()
-    out = {"video_p50_s": round(stats["p50_s"], 3),
-           "video_p90_s": round(stats["p90_s"], 3),
-           "videos_per_min": round(60.0 * len(paths) / wall, 1)}
-
-    # production throughput path: packed V-slot forwards, pipelined gathers
-    scorer.score_videos_batched(paths, workers)     # warm the packed graphs
-    t0 = time.perf_counter()
-    scorer.score_videos_batched(paths, workers)
-    wall_b = time.perf_counter() - t0
-    out["videos_per_min_batched"] = round(60.0 * len(paths) / wall_b, 1)
-    return out
+def _group_base():
+    _row(value=round(_throughput("cvit"), 1))
+    _row(int8_crops_per_sec=round(_throughput("cvit", quantize="stem"), 1))
+    _row(int8_full_crops_per_sec=round(_throughput("cvit", quantize="full"), 1))
 
 
-def _train_throughput() -> float:
+def _group_flagship():
+    _row(flagship_crops_per_sec=round(_throughput("cvit_repbn8"), 1))
+    _row(int8_flagship_crops_per_sec=round(
+        _throughput("cvit_repbn8", quantize="stem"), 1))
+
+
+def _group_train():
     """Device-cached CViT training img/s: batch 256, bf16 compute, full
     strong_aug — the Trainer's scanned-epoch path (one jit per epoch,
     zero steady-state host traffic). `cvit_train.py:129-147` is the
     reference loop this replaces."""
+    import jax
+    import numpy as np
     from fac_fake_tpu.core.config import Config
     from fac_fake_tpu.models import build_model
     from fac_fake_tpu.train.trainer import Trainer
@@ -163,13 +166,15 @@ def _train_throughput() -> float:
     # _run_epoch ends with a device_get of the accumulated metrics, which
     # through the relay forces real completion of every step
     dt = time.perf_counter() - t0
-    return n / dt
+    _row(train_img_per_sec=round(n / dt, 1))
 
 
-def _s3d_train_throughput() -> float:
+def _group_s3d():
     """CA_S3D training clips/s: batch 8, 20×224² clips, bf16 mixed
     precision, device-cached scanned epoch — the S3D workload's hot loop
     (`S3D-train.py:318-443`, weighted BCE on raw 0-255 inputs)."""
+    import jax
+    import numpy as np
     from fac_fake_tpu.core.config import Config
     from fac_fake_tpu.models import build_model
     from fac_fake_tpu.train.trainer import Trainer
@@ -198,46 +203,171 @@ def _s3d_train_throughput() -> float:
     t0 = time.perf_counter()
     state, rng, _ = trainer._run_epoch(state, cache, rng, train=True)
     dt = time.perf_counter() - t0
-    return n / dt
+    _row(s3d_train_clips_per_sec=round(n / dt, 1))
+
+
+def _group_video():
+    """Warm p50/p90 per-video latency over the reference sample videos,
+    then the batched production path."""
+    import jax
+    import jax.numpy as jnp
+    video_dir = "/root/reference/CViT-main/sample__prediction_data"
+    if not os.path.isdir(video_dir):
+        _row(video_skipped="reference not mounted")
+        return
+    from fac_fake_tpu.core.config import Config, ModelConfig
+    from fac_fake_tpu.infer.predictor import VideoScorer
+    from fac_fake_tpu.models import build_model
+
+    cfg = Config()
+    model = build_model(ModelConfig(name="cvit", dtype="bfloat16"))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+    scorer = VideoScorer(model, variables, cfg)
+    paths = sorted(os.path.join(video_dir, f) for f in os.listdir(video_dir)
+                   if f.endswith(".mp4"))
+    if not paths:
+        _row(video_skipped="no sample videos")
+        return
+    # decode is CPU-bound: more threads than cores inflates per-video
+    # latency ~linearly (measured 6× on the 1-core axon host)
+    workers = max(1, min(4, os.cpu_count() or 1))
+    scorer.score_videos(paths, workers)             # warmup: compiles + page cache
+    scorer.video_latencies = []
+    t0 = time.perf_counter()
+    scorer.score_videos(paths, workers)             # timed, warm
+    wall = time.perf_counter() - t0
+    stats = scorer.latency_stats()
+    _row(video_p50_s=round(stats["p50_s"], 3),
+         video_p90_s=round(stats["p90_s"], 3),
+         videos_per_min=round(60.0 * len(paths) / wall, 1))
+
+    # production throughput path: packed V-slot forwards, pipelined gathers
+    scorer.score_videos_batched(paths, workers)     # warm the packed graphs
+    t0 = time.perf_counter()
+    scorer.score_videos_batched(paths, workers)
+    wall_b = time.perf_counter() - t0
+    _row(videos_per_min_batched=round(60.0 * len(paths) / wall_b, 1))
+
+
+GROUPS = {
+    "base": _group_base,
+    "flagship": _group_flagship,
+    "train": _group_train,
+    "s3d": _group_s3d,
+    "video": _group_video,
+}
+
+# (name, warm-path estimate s, wall cap s) in importance order: the primary
+# row first, then the reference's best line, then the two train rows, then
+# the end-to-end video path (largest compile surface — BlazeFace b96 is
+# ~8 min cold — so it rides last and can never starve the rows above).
+SCHEDULE = [
+    ("base", 110, 260),
+    ("flagship", 80, 170),
+    ("train", 70, 160),
+    ("s3d", 70, 160),
+    ("video", 120, 220),
+]
+
+
+# ---------------------------------------------------------------------------
+# parent orchestrator
+# ---------------------------------------------------------------------------
+
+class _Orchestrator:
+    def __init__(self, budget_s: float):
+        self.deadline = time.monotonic() + budget_s
+        self.rows = {}
+        self.child = None
+        self.emitted = False
+
+    def remaining(self) -> float:
+        return self.deadline - time.monotonic()
+
+    def emit(self):
+        if self.emitted:
+            return
+        self.emitted = True
+        rows = dict(self.rows)
+        value = rows.pop("value", 0.0)
+        out = {
+            "metric": "face-crops/sec/chip (CViT inference)",
+            "value": value,
+            "unit": "crops/s",
+            "vs_baseline": round(value / BASELINE_TARGET, 3),
+            "secondary": rows,
+        }
+        print(json.dumps(out), flush=True)
+
+    def _on_signal(self, signum, frame):
+        # driver timeout (SIGTERM) or our own backstop alarm: flush what we
+        # have as the one JSON line, then die cleanly — partial beats null
+        self.rows.setdefault("interrupted", signal.Signals(signum).name)
+        if self.child is not None and self.child.poll() is None:
+            try:
+                self.child.kill()
+            except OSError:
+                pass
+        self.emit()
+        sys.stdout.flush()
+        os._exit(0)
+
+    def run_group(self, name: str, cap_s: float):
+        t0 = time.monotonic()
+        self.child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--group", name],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        rows = self.rows
+
+        def _reader(pipe):
+            for line in pipe:
+                if line.startswith("ROW "):
+                    try:
+                        rows.update(json.loads(line[4:]))
+                    except ValueError:
+                        pass
+            pipe.close()
+
+        t = threading.Thread(target=_reader, args=(self.child.stdout,),
+                             daemon=True)
+        t.start()
+        try:
+            self.child.wait(timeout=cap_s)
+        except subprocess.TimeoutExpired:
+            self.child.kill()
+            self.child.wait()
+            rows[f"timeout_{name}"] = round(time.monotonic() - t0, 1)
+        else:
+            if self.child.returncode != 0:
+                rows.setdefault(f"error_{name}", f"rc={self.child.returncode}")
+        t.join(timeout=5)
+        self.child = None
+        rows.setdefault("stage_seconds", {})[name] = \
+            round(time.monotonic() - t0, 1)
+
+    def main(self):
+        for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
+            signal.signal(sig, self._on_signal)
+        # backstop: even if wait() somehow wedges, the alarm flushes partials
+        signal.alarm(max(5, int(self.remaining()) - 5))
+        reserve = 8.0  # leave room to print the final line
+        for name, est, cap in SCHEDULE:
+            left = self.remaining() - reserve
+            if left < est:
+                self.rows[f"skipped_{name}"] = "budget"
+                continue
+            self.run_group(name, min(cap, left))
+        signal.alarm(0)
+        self.emit()
 
 
 def main():
-    crops_per_sec = _throughput("cvit")
-    secondary = {}
-    try:
-        secondary["flagship_crops_per_sec"] = round(_throughput("cvit_repbn8"), 1)
-    except Exception as e:          # never lose the primary metric
-        secondary["flagship_error"] = repr(e)[:120]
-    try:
-        secondary["int8_crops_per_sec"] = round(_throughput("cvit",
-                                                            quantize=True), 1)
-    except Exception as e:
-        secondary["int8_error"] = repr(e)[:120]
-    try:
-        secondary["int8_flagship_crops_per_sec"] = round(
-            _throughput("cvit_repbn8", quantize=True), 1)
-    except Exception as e:
-        secondary["int8_flagship_error"] = repr(e)[:120]
-    try:
-        secondary["train_img_per_sec"] = round(_train_throughput(), 1)
-    except Exception as e:
-        secondary["train_error"] = repr(e)[:120]
-    try:
-        secondary["s3d_train_clips_per_sec"] = round(_s3d_train_throughput(), 1)
-    except Exception as e:
-        secondary["s3d_train_error"] = repr(e)[:120]
-    try:
-        secondary.update(_video_latency())
-    except Exception as e:
-        secondary["video_error"] = repr(e)[:120]
-
-    print(json.dumps({
-        "metric": "face-crops/sec/chip (CViT inference)",
-        "value": round(crops_per_sec, 1),
-        "unit": "crops/s",
-        "vs_baseline": round(crops_per_sec / BASELINE_TARGET, 3),
-        "secondary": secondary,
-    }))
+    if len(sys.argv) >= 3 and sys.argv[1] == "--group":
+        GROUPS[sys.argv[2]]()
+        return
+    budget = float(os.environ.get("FAC_BENCH_BUDGET_S", "480"))
+    _Orchestrator(budget).main()
 
 
 if __name__ == "__main__":
