@@ -151,6 +151,67 @@ def test_s3d_training_smoke(tmp_path):
     assert h["train_loss"][-1] < h["train_loss"][0]
 
 
+def test_ca_s3d_trains_on_mesh_with_global_bn():
+    """The reference's ONLY distributed trainer is the S3D DDP one
+    (`S3D-train-GPUs.py:330-331`: SyncBatchNorm.convert_sync_batchnorm +
+    DDP wrap). The equivalent guarantee here: one REAL `ca_s3d` train step
+    on the 8-device dp×tp mesh must produce finite loss and batch_stats
+    numerically identical to the same step on a single device — i.e. every
+    BN3D statistic is computed over the GLOBAL batch, not per shard."""
+    import jax
+    from fac_fake_tpu.core.config import Config, MeshConfig
+    from fac_fake_tpu.models import build_model
+    from fac_fake_tpu.parallel.mesh import build_mesh
+    from fac_fake_tpu.train.trainer import Trainer
+
+    cfg = Config()
+    cfg.model.name = "ca_s3d"
+    cfg.data.image_size = 32
+    cfg.data.normalize = "raw255"
+    cfg.data.augment.enabled = False
+    cfg.train.loss = "bce_weighted"
+    cfg.train.log_every = 0
+
+    rng = np.random.default_rng(0)
+    # per-shard brightness staircase: with dp=4 each shard's 2 rows share a
+    # brightness band, so per-shard BN means would diverge wildly from the
+    # global ones — if the mesh step computed local stats, the comparison
+    # below could not pass
+    clips = np.zeros((8, 16, 32, 32, 3), np.uint8)
+    for i in range(8):
+        clips[i] = rng.integers(0, 30, (16, 32, 32, 3)) + i * 28
+    batch = {"image": clips, "label": rng.integers(0, 2, 8).astype(np.int32),
+             "mask": np.ones(8, np.float32)}
+
+    def one_step(mesh):
+        trainer = Trainer(build_model(cfg.model), cfg, mesh=mesh,
+                          loss_kwargs={"pos_weight": 1.0},
+                          input_shape=(1, 16, 32, 32, 3))
+        state = trainer.shard_state(trainer.init_state(seed=0))
+        state, metrics = trainer.train_step(state, trainer.put_batch(batch),
+                                            jax.random.key(0))
+        return (float(jax.device_get(metrics["loss"])),
+                jax.device_get(state.batch_stats))
+
+    loss_mesh, bs_mesh = one_step(build_mesh(MeshConfig(data=4, model=2)))
+    assert np.isfinite(loss_mesh)
+
+    loss_one, bs_one = one_step(
+        build_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1]))
+    assert np.isfinite(loss_one)
+    assert abs(loss_mesh - loss_one) < 1e-3, (loss_mesh, loss_one)
+
+    flat_mesh = jax.tree_util.tree_leaves_with_path(bs_mesh)
+    flat_one = {jax.tree_util.keystr(p): v
+                for p, v in jax.tree_util.tree_leaves_with_path(bs_one)}
+    assert flat_mesh and len(flat_mesh) == len(flat_one)
+    for path, leaf in flat_mesh:
+        np.testing.assert_allclose(
+            leaf, flat_one[jax.tree_util.keystr(path)], rtol=2e-4, atol=2e-5,
+            err_msg=f"batch_stats diverged between mesh and single device "
+                    f"at {jax.tree_util.keystr(path)}")
+
+
 def test_s3d_evaluator_and_metrics(tmp_path):
     import jax
     import jax.numpy as jnp
