@@ -4,6 +4,15 @@ Replaces `torch.save(state_dict)` / filename-epoch parsing
 (`S3D-train.py:213-218,426-429`, `cvit_train.py:185-210`) with orbax
 step-indexed checkpoints carrying the full functional state; resume is
 `latest_epoch` + `restore_checkpoint`, no string parsing.
+
+Periodic training checkpoints go through `CheckpointWriter` — orbax's ASYNC
+path (SURVEY §5.3: the TPU equivalent of the reference's every-10-epoch
+crash checkpoints, `S3D-train.py:426-429`, without stalling the step): the
+device→host snapshot happens at `save()`, the serialization + directory
+finalize run on a background thread while the next epoch trains, and an
+interrupted write can never be taken for a complete checkpoint — orbax
+finalizes atomically, so `latest_step()` only ever names finished saves
+(`tests/test_checkpoint_async.py` kills a trainer mid-write to prove it).
 """
 from __future__ import annotations
 
@@ -20,7 +29,45 @@ def _mgr(directory: str) -> ocp.CheckpointManager:
     return ocp.CheckpointManager(os.path.abspath(directory))
 
 
+class CheckpointWriter:
+    """Async periodic checkpointing for one training run.
+
+    Holds ONE CheckpointManager for the run (creating + closing a manager
+    per save, as `save_checkpoint` does, forces a blocking
+    wait_until_finished on every save). `save()` returns as soon as the
+    on-host snapshot is taken; persistence overlaps the following steps.
+    `close()` (or context exit) drains pending writes.
+    """
+
+    def __init__(self, directory: str):
+        os.makedirs(directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(
+                enable_async_checkpointing=True))
+
+    def save(self, state: TrainState, epoch: int):
+        self._mgr.save(epoch, args=ocp.args.StandardSave(jax.device_get(state)))
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def latest(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def close(self):
+        self._mgr.close()          # drains pending async writes
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def save_checkpoint(directory: str, state: TrainState, epoch: int):
+    """One-shot synchronous save (CLI/tools path; training uses
+    CheckpointWriter)."""
     os.makedirs(directory, exist_ok=True)
     with _mgr(directory) as mgr:
         mgr.save(epoch, args=ocp.args.StandardSave(jax.device_get(state)))

@@ -453,6 +453,11 @@ class Trainer:
                    "val_acc": [], "lr": []}
         best = {"acc": -1.0, "params": None, "batch_stats": None}
         bad_epochs = 0
+        ckpt_writer = None        # async periodic saves (checkpoint.py)
+        if cfg.checkpoint_every and cfg.checkpoint_dir \
+                and jax.process_index() == 0:
+            from fac_fake_tpu.train.checkpoint import CheckpointWriter
+            ckpt_writer = CheckpointWriter(cfg.checkpoint_dir)
         writer = None
         if cfg.tensorboard_dir:
             from tensorboardX import SummaryWriter
@@ -517,10 +522,12 @@ class Trainer:
                     from fac_fake_tpu.train.checkpoint import save_best
                     save_best(cfg.checkpoint_dir, state)
 
-            if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0 \
-                    and cfg.checkpoint_dir and jax.process_index() == 0:
-                from fac_fake_tpu.train.checkpoint import save_checkpoint
-                save_checkpoint(cfg.checkpoint_dir, state, epoch)
+            if ckpt_writer is not None \
+                    and (epoch + 1) % cfg.checkpoint_every == 0:
+                # async: the on-host snapshot happens here, persistence
+                # overlaps the next epoch (S3D-train.py:426-429 equivalent,
+                # without stalling the step)
+                ckpt_writer.save(state, epoch)
 
             # early stop on val-loss patience (S3D-train.py:322-325)
             if cfg.patience:
@@ -537,6 +544,8 @@ class Trainer:
         history["best_acc"] = best["acc"]
         if writer:
             writer.close()
+        if ckpt_writer is not None:
+            ckpt_writer.close()    # drain pending async checkpoint writes
         return {"state": state, "history": history, "best": best}
 
     # ------------------------------------------------------------------
