@@ -164,7 +164,7 @@ class FaceExtractor:
 
         out = []
         for i in range(f):
-            crops, scores = [], []
+            crops, scores, boxes = [], [], []
             for j in range(MAX_FACES):
                 if not mask[i, j]:
                     continue
@@ -173,8 +173,9 @@ class FaceExtractor:
                 if crop.size:
                     crops.append(crop)
                     scores.append(float(faces[i, j, 16]))
+                    boxes.append((int(ymin), int(xmin), int(ymax), int(xmax)))
             out.append({"frame_idx": idxs[i], "frame_w": w, "frame_h": h,
-                        "faces": crops, "scores": scores})
+                        "faces": crops, "scores": scores, "boxes": boxes})
         return out
 
     @staticmethod

@@ -1,0 +1,90 @@
+"""Detector-agreement harness (`detect/agreement.py`) — bounds the
+dlib→BlazeFace swap the predict path makes (PARITY.md L2,
+`cvit_prediction.py:106-121` vs `:124-147`)."""
+import numpy as np
+import pytest
+
+from conftest import requires_reference
+
+
+def test_box_iou_matrix_and_greedy_match():
+    from fac_fake_tpu.detect.agreement import box_iou_matrix, greedy_match
+    a = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)
+    b = np.array([[0, 0, 10, 10], [21, 21, 31, 31], [100, 100, 110, 110]],
+                 np.float32)
+    iou = box_iou_matrix(a, b)
+    assert iou.shape == (2, 3)
+    assert iou[0, 0] == pytest.approx(1.0)
+    # 9×9 overlap of two 10×10 boxes: 81 / (200 - 81)
+    assert iou[1, 1] == pytest.approx(81 / 119, rel=1e-5)
+    assert iou[0, 2] == 0.0
+    pairs = greedy_match(iou, thr=0.5)
+    assert sorted(p[:2] for p in pairs) == [(0, 0), (1, 1)]
+    # one-to-one: a second a-box can't claim an already-matched b-box
+    iou2 = box_iou_matrix(np.array([[0, 0, 10, 10], [1, 1, 11, 11]]),
+                          np.array([[0, 0, 10, 10]]))
+    assert len(greedy_match(iou2, thr=0.1)) == 1
+    # empty sides are well-defined
+    assert box_iou_matrix(np.zeros((0, 4)), b).shape == (0, 3)
+    assert greedy_match(box_iou_matrix(np.zeros((0, 4)), b)) == []
+
+
+def test_video_agreement_with_stub_detectors():
+    from fac_fake_tpu.detect.agreement import video_agreement
+    frames = np.zeros((3, 32, 32, 3), np.uint8)
+
+    def det_a(fr):
+        return [np.array([[0, 0, 10, 10]], np.float32)] * len(fr)
+
+    def det_b(fr):
+        # frame 0: perfect match; frame 1: shifted but >0.5 IoU;
+        # frame 2: miss + an extra spurious box
+        return [np.array([[0, 0, 10, 10]], np.float32),
+                np.array([[1, 0, 11, 10]], np.float32),
+                np.array([[20, 20, 30, 30], [25, 25, 30, 30]], np.float32)]
+
+    rec = video_agreement(frames, det_a, det_b, iou_thr=0.5)
+    assert rec["frames"] == 3
+    assert rec["boxes_a"] == 3 and rec["boxes_b"] == 4
+    assert rec["matched"] == 2
+    assert rec["recall_a_by_b"] == pytest.approx(2 / 3)
+    assert rec["recall_b_by_a"] == pytest.approx(2 / 4)
+    assert 0.8 < rec["mean_iou"] <= 1.0
+
+
+def test_blazeface_self_agreement_is_perfect():
+    """Harness sanity anchor: a detector agrees with itself exactly (the
+    BlazeFace adapter is deterministic), so mean IoU must be 1.0."""
+    from fac_fake_tpu.detect.agreement import (blazeface_boxes_fn,
+                                               video_agreement)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (2, 128, 128, 3), dtype=np.uint8)
+    fn = blazeface_boxes_fn()
+    rec = video_agreement(frames, fn, fn)
+    assert rec["boxes_a"] == rec["boxes_b"] == rec["matched"]
+    if rec["matched"]:
+        assert rec["mean_iou"] == pytest.approx(1.0)
+
+
+@requires_reference
+def test_agreement_report_on_sample_video():
+    """End-to-end schema check on one reference sample video: BlazeFace
+    (real in-repo weights) vs the MTCNN cascade (random init — see
+    agreement.py caveat; real facenet weights don't exist in this image).
+    Asserts the production BlazeFace side finds faces and the report is
+    well-formed — NOT that a random-weight cascade agrees."""
+    import os
+    from fac_fake_tpu.detect.agreement import (agreement_report,
+                                               blazeface_boxes_fn,
+                                               mtcnn_boxes_fn)
+    video_dir = "/root/reference/CViT-main/sample__prediction_data"
+    paths = sorted(os.path.join(video_dir, f) for f in os.listdir(video_dir)
+                   if f.endswith(".mp4"))[:1]
+    rep = agreement_report(paths, blazeface_boxes_fn(), mtcnn_boxes_fn(),
+                           frames_per_video=2)
+    assert rep["totals"]["videos"] == 1
+    (rec,) = rep["videos"].values()
+    assert rec["frames"] == 2
+    assert rec["boxes_a"] > 0          # BlazeFace finds the face
+    assert rec["boxes_b"] >= 0
+    assert {"recall_a_by_b", "recall_b_by_a", "mean_iou"} <= set(rec)
