@@ -260,6 +260,12 @@ class TrainConfig:
     # 1/N the activation memory. TPU-native extension (no reference
     # analogue): effective batches beyond HBM on one chip.
     grad_accum_steps: int = 1
+    # rematerialization policy for the loss forward inside the train step:
+    # "none" (XLA picks what to save), "dots" (save only matmul/conv
+    # outputs — jax dots_with_no_batch_dims_saveable), "nothing" (recompute
+    # everything in the backward, minimum activation memory). Trades HBM
+    # residency for recompute FLOPs; measurements in PARITY.md.
+    remat: str = "none"
     tensorboard_dir: str = ""
     optim: OptimConfig = field(default_factory=OptimConfig)
 

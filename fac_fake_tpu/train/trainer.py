@@ -186,6 +186,17 @@ class Trainer:
                 # drop_last=False iterators; metrics already honor the mask)
                 return loss_fn(logits, labels, mask), (logits, mut)
 
+            remat = getattr(self.cfg.train, "remat", "none")
+            if remat != "none":
+                # trade activation HBM for recompute: the backward re-derives
+                # everything but the policy-saved residuals (jax.checkpoint)
+                policy = {
+                    "dots": jax.checkpoint_policies
+                            .dots_with_no_batch_dims_saveable,
+                    "nothing": jax.checkpoint_policies.nothing_saveable,
+                }[remat]
+                loss_of = jax.checkpoint(loss_of, policy=policy)
+
             grad_of = jax.value_and_grad(loss_of, has_aux=True)
 
             if accum == 1:
