@@ -9,20 +9,24 @@ timing forced by fetching a scalar (through the axon relay,
 transfers stay off the timed path; see .claude/skills/verify/SKILL.md).
 
 Deadline architecture (round 4): the driver wraps `python bench.py` in a
-`timeout`, and round 3 proved that ~10 serially-compiled XLA graphs with no
+`timeout`, and round 3 proved that serially-compiled XLA graphs with no
 budget can starve the single end-of-process JSON line (BENCH_r03: rc=124,
-parsed=null). This file is now a PARENT ORCHESTRATOR:
+parsed=null). This file is now a PARENT ORCHESTRATOR around ONE measuring
+child process:
 
-  * global wall-clock budget `FAC_BENCH_BUDGET_S` (default 480 s), spent on
-    stage GROUPS in importance order — the primary crops/s row first;
-  * each group runs as a subprocess (`python bench.py --group <name>`) that
-    streams `ROW {json}` lines as each measurement completes, so a group
-    killed at its cap still contributes every row it finished;
-  * groups whose warm-path estimate no longer fits the remaining budget are
-    skipped and recorded as `"skipped_<group>": "budget"`;
-  * SIGTERM/SIGALRM in the parent kill the running child and print the
-    partial JSON line before exiting — a timeout degrades to fewer rows,
-    never to nothing.
+  * global wall-clock budget `FAC_BENCH_BUDGET_S` (default 480 s);
+  * the child (`python bench.py --child`) runs stages in importance order —
+    the primary crops/s row first, the compile-heavy video path last — and
+    streams a `ROW {json}` line as each measurement completes, so however
+    the run ends, every finished row is already in the parent;
+  * ONE child on purpose: the first device-touching sync in a process waits
+    for the relay's TPU grant (measured 0-7 min under contention; recorded
+    as the `tpu_claim_s` row) — per-stage subprocesses would pay it per
+    stage. The child skips stages whose warm estimate no longer fits its
+    deadline (`"skipped_<stage>": "budget"`), and per-stage try/except
+    records failures without losing later stages;
+  * SIGTERM/SIGALRM in the parent kill the child and print the partial JSON
+    line before exiting — a timeout degrades to fewer rows, never nothing.
 
 Rows (all crops/s rows at batch 2048 on device-resident uint8):
   * value — base CViT crops/s (the BASELINE.md north star);
@@ -59,7 +63,7 @@ BATCH = 2048
 
 
 # ---------------------------------------------------------------------------
-# measurements (run inside --group subprocesses)
+# measurements (run inside the --child subprocess)
 # ---------------------------------------------------------------------------
 
 def _row(**kv):
@@ -67,28 +71,48 @@ def _row(**kv):
     print("ROW " + json.dumps(kv), flush=True)
 
 
-def _throughput(model_name: str, quantize: str = "") -> float:
-    """crops/s for one folded bf16 model on device-resident uint8 crops.
-    `quantize`: "" (fp), "stem" (int8 stem prefix), "full" (stems +
-    transformer Dense kernels)."""
+def _prep(model_name: str):
+    """Folded bf16 model + device variables + device crops.
+
+    `jax.jit(model.init)` matters through the relay: eager init is hundreds
+    of ~25 ms dispatch round trips (measured 123 s for the base CViT);
+    jitted it's one compile + one execution (~6 s). fold/quantize are
+    device-native (compat/fold.py, compat/quantize.py) — the ~350 MB
+    variable tree never crosses the relay's ~3.5 MB/s downlink."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from fac_fake_tpu.compat.fold import fold_cvit
     from fac_fake_tpu.core.config import ModelConfig
-    from fac_fake_tpu.models import build_model
-    from fac_fake_tpu.ops.preprocess import normalize_imagenet
+    from fac_fake_tpu.models import build_model, init_variables
 
     model = build_model(ModelConfig(name=model_name, dtype="bfloat16"))
-    variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+    variables = init_variables(model, (1, 224, 224, 3))
     model, variables = fold_cvit(model, variables)
-    if quantize:
-        from fac_fake_tpu.compat.quantize import quantize_cvit
-        calib = normalize_imagenet(jnp.asarray(np.random.default_rng(1)
-                 .integers(0, 255, (64, 224, 224, 3), dtype=np.uint8)))
-        model, variables = quantize_cvit(model, variables, calib,
-                                         transformer=(quantize == "full"))
-    variables = jax.device_put(variables)
+    rng = np.random.default_rng(0)
+    crops = jax.device_put(
+        jnp.asarray(rng.integers(0, 255, (BATCH, 224, 224, 3), dtype=np.uint8)))
+    return model, variables, crops
+
+
+def _quantized(model, variables, mode: str):
+    """int8 PTQ rewrite ("stem" prefix-only or "full" incl. transformer)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from fac_fake_tpu.compat.quantize import quantize_cvit
+    from fac_fake_tpu.ops.preprocess import normalize_imagenet
+    calib = normalize_imagenet(jnp.asarray(np.random.default_rng(1)
+             .integers(0, 255, (64, 224, 224, 3), dtype=np.uint8)))
+    return quantize_cvit(model, variables, calib,
+                         transformer=(mode == "full"))
+
+
+def _run(model, variables, crops) -> float:
+    """crops/s on device-resident uint8 crops."""
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.ops.preprocess import normalize_imagenet
+
     pos_idx = jnp.arange(BATCH) % 32
 
     @jax.jit
@@ -100,10 +124,6 @@ def _throughput(model_name: str, quantize: str = "") -> float:
         # so ONE final fetch waits for the whole chain — honest device
         # time without a ~25 ms relay round trip per step
         return jnp.sum(logits) + carry * jnp.float32(1e-30)
-
-    rng = np.random.default_rng(0)
-    crops = jax.device_put(
-        jnp.asarray(rng.integers(0, 255, (BATCH, 224, 224, 3), dtype=np.uint8)))
 
     carry = jnp.float32(0.0)
     carry = step(variables, crops, carry)
@@ -120,19 +140,23 @@ def _throughput(model_name: str, quantize: str = "") -> float:
     return BATCH * iters / dt
 
 
-def _group_base():
-    _row(value=round(_throughput("cvit"), 1))
-    _row(int8_crops_per_sec=round(_throughput("cvit", quantize="stem"), 1))
-    _row(int8_full_crops_per_sec=round(_throughput("cvit", quantize="full"), 1))
+def _stage_base():
+    model, variables, crops = _prep("cvit")
+    _row(value=round(_run(model, variables, crops), 1))
+    qm, qv = _quantized(model, variables, "stem")
+    _row(int8_crops_per_sec=round(_run(qm, qv, crops), 1))
+    qm, qv = _quantized(model, variables, "full")
+    _row(int8_full_crops_per_sec=round(_run(qm, qv, crops), 1))
 
 
-def _group_flagship():
-    _row(flagship_crops_per_sec=round(_throughput("cvit_repbn8"), 1))
-    _row(int8_flagship_crops_per_sec=round(
-        _throughput("cvit_repbn8", quantize="stem"), 1))
+def _stage_flagship():
+    model, variables, crops = _prep("cvit_repbn8")
+    _row(flagship_crops_per_sec=round(_run(model, variables, crops), 1))
+    qm, qv = _quantized(model, variables, "stem")
+    _row(int8_flagship_crops_per_sec=round(_run(qm, qv, crops), 1))
 
 
-def _group_train():
+def _stage_train():
     """Device-cached CViT training img/s: batch 256, bf16 compute, full
     strong_aug — the Trainer's scanned-epoch path (one jit per epoch,
     zero steady-state host traffic). `cvit_train.py:129-147` is the
@@ -169,7 +193,7 @@ def _group_train():
     _row(train_img_per_sec=round(n / dt, 1))
 
 
-def _group_s3d():
+def _stage_s3d():
     """CA_S3D training clips/s: batch 8, 20×224² clips, bf16 mixed
     precision, device-cached scanned epoch — the S3D workload's hot loop
     (`S3D-train.py:318-443`, weighted BCE on raw 0-255 inputs)."""
@@ -206,7 +230,7 @@ def _group_s3d():
     _row(s3d_train_clips_per_sec=round(n / dt, 1))
 
 
-def _group_video():
+def _stage_video():
     """Warm p50/p90 per-video latency over the reference sample videos,
     then the batched production path."""
     import jax
@@ -221,7 +245,8 @@ def _group_video():
 
     cfg = Config()
     model = build_model(ModelConfig(name="cvit", dtype="bfloat16"))
-    variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+    from fac_fake_tpu.models import init_variables
+    variables = init_variables(model, (1, 224, 224, 3))
     scorer = VideoScorer(model, variables, cfg)
     paths = sorted(os.path.join(video_dir, f) for f in os.listdir(video_dir)
                    if f.endswith(".mp4"))
@@ -249,25 +274,42 @@ def _group_video():
     _row(videos_per_min_batched=round(60.0 * len(paths) / wall_b, 1))
 
 
-GROUPS = {
-    "base": _group_base,
-    "flagship": _group_flagship,
-    "train": _group_train,
-    "s3d": _group_s3d,
-    "video": _group_video,
-}
+# (name, fn, warm-path estimate s) in importance order: the primary row
+# first, then the reference's best line, then the two train rows, then the
+# end-to-end video path (largest compile surface — BlazeFace b96 is ~8 min
+# cold — so it rides last and can never starve the rows above).
+STAGES = (
+    ("base", _stage_base, 110),
+    ("flagship", _stage_flagship, 80),
+    ("train", _stage_train, 60),
+    ("s3d", _stage_s3d, 60),
+    ("video", _stage_video, 130),
+)
 
-# (name, warm-path estimate s, wall cap s) in importance order: the primary
-# row first, then the reference's best line, then the two train rows, then
-# the end-to-end video path (largest compile surface — BlazeFace b96 is
-# ~8 min cold — so it rides last and can never starve the rows above).
-SCHEDULE = [
-    ("base", 110, 260),
-    ("flagship", 80, 170),
-    ("train", 70, 160),
-    ("s3d", 70, 160),
-    ("video", 120, 220),
-]
+
+def _child():
+    deadline = time.monotonic() + float(
+        os.environ.get("_FAC_BENCH_CHILD_S", "460"))
+    # The first device-touching sync waits for the relay's TPU grant —
+    # measured 0-7 min under contention. Pay it ONCE, record it, and spend
+    # the stage budget on what's left.
+    import jax.numpy as jnp
+    t0 = time.monotonic()
+    float(jnp.ones(()) * 2)
+    _row(tpu_claim_s=round(time.monotonic() - t0, 1))
+    times = {}
+    for name, fn, est in STAGES:
+        left = deadline - time.monotonic()
+        if left < est:
+            _row(**{f"skipped_{name}": "budget"})
+            continue
+        t0 = time.monotonic()
+        try:
+            fn()
+        except Exception as e:           # never lose later stages
+            _row(**{f"error_{name}": repr(e)[:120]})
+        times[name] = round(time.monotonic() - t0, 1)
+    _row(stage_seconds=times)
 
 
 # ---------------------------------------------------------------------------
@@ -276,13 +318,11 @@ SCHEDULE = [
 
 class _Orchestrator:
     def __init__(self, budget_s: float):
+        self.budget_s = budget_s
         self.deadline = time.monotonic() + budget_s
         self.rows = {}
         self.child = None
         self.emitted = False
-
-    def remaining(self) -> float:
-        return self.deadline - time.monotonic()
 
     def emit(self):
         if self.emitted:
@@ -312,12 +352,18 @@ class _Orchestrator:
         sys.stdout.flush()
         os._exit(0)
 
-    def run_group(self, name: str, cap_s: float):
-        t0 = time.monotonic()
+    def main(self):
+        for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
+            signal.signal(sig, self._on_signal)
+        # backstop: even if wait() somehow wedges, the alarm flushes partials
+        signal.alarm(max(5, int(self.budget_s) - 5))
+        reserve = 8.0  # leave room to print the final line
+        env = dict(os.environ)
+        env["_FAC_BENCH_CHILD_S"] = str(self.budget_s - reserve)
         self.child = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--group", name],
+            [sys.executable, os.path.abspath(__file__), "--child"],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
+            env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
         rows = self.rows
 
         def _reader(pipe):
@@ -333,40 +379,31 @@ class _Orchestrator:
                              daemon=True)
         t.start()
         try:
-            self.child.wait(timeout=cap_s)
+            self.child.wait(timeout=max(5.0, self.deadline - time.monotonic()
+                                        - reserve))
         except subprocess.TimeoutExpired:
             self.child.kill()
             self.child.wait()
-            rows[f"timeout_{name}"] = round(time.monotonic() - t0, 1)
+            rows.setdefault("interrupted", "cap")
         else:
             if self.child.returncode != 0:
-                rows.setdefault(f"error_{name}", f"rc={self.child.returncode}")
+                rows.setdefault("child_error", f"rc={self.child.returncode}")
         t.join(timeout=5)
         self.child = None
-        rows.setdefault("stage_seconds", {})[name] = \
-            round(time.monotonic() - t0, 1)
-
-    def main(self):
-        for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
-            signal.signal(sig, self._on_signal)
-        # backstop: even if wait() somehow wedges, the alarm flushes partials
-        signal.alarm(max(5, int(self.remaining()) - 5))
-        reserve = 8.0  # leave room to print the final line
-        for name, est, cap in SCHEDULE:
-            left = self.remaining() - reserve
-            if left < est:
-                self.rows[f"skipped_{name}"] = "budget"
-                continue
-            self.run_group(name, min(cap, left))
         signal.alarm(0)
         self.emit()
 
 
 def main():
-    if len(sys.argv) >= 3 and sys.argv[1] == "--group":
-        GROUPS[sys.argv[2]]()
+    if "--child" in sys.argv:
+        _child()
         return
-    budget = float(os.environ.get("FAC_BENCH_BUDGET_S", "480"))
+    # The default budget is deliberately LONG: the parent's SIGTERM handler
+    # already degrades gracefully when the driver's external `timeout` is
+    # shorter (partial rows still flush), whereas a conservative budget
+    # self-truncates even when more wall-clock was available. The budget's
+    # real job is the importance-ordered skip logic + the ALRM backstop.
+    budget = float(os.environ.get("FAC_BENCH_BUDGET_S", "1800"))
     _Orchestrator(budget).main()
 
 

@@ -102,9 +102,9 @@ def main(argv=None):
 
     model = build_model(cfg.model)
     t = cfg.data.frames_per_video
-    variables = model.init(jax.random.key(0),
-                           jnp.zeros((1, t, cfg.model.image_size,
-                                      cfg.model.image_size, 3)))
+    from fac_fake_tpu.models import init_variables
+    variables = init_variables(
+        model, (1, t, cfg.model.image_size, cfg.model.image_size, 3))
     if args.checkpoint:
         import orbax.checkpoint as ocp
         with ocp.StandardCheckpointer() as ck:
@@ -145,7 +145,8 @@ def _gradcam(args):
     size = cfg.model.image_size
 
     model = build_model(cfg.model)
-    variables = model.init(jax.random.key(0), jnp.zeros((1, size, size, 3)))
+    from fac_fake_tpu.models import init_variables
+    variables = init_variables(model, (1, size, size, 3))
     if args.weights:
         if args.weights.endswith((".pth", ".pt")):
             from fac_fake_tpu.compat.torch_weights import (

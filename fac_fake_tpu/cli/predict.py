@@ -49,9 +49,9 @@ def main(argv=None):
     apply_dotted(cfg, args.set)
 
     model = build_model(cfg.model)
-    variables = model.init(jax.random.key(0),
-                           jnp.zeros((1, cfg.model.image_size,
-                                      cfg.model.image_size, 3)))
+    from fac_fake_tpu.models import init_variables
+    variables = init_variables(
+        model, (1, cfg.model.image_size, cfg.model.image_size, 3))
     if args.weights:
         if args.weights.endswith((".pth", ".pt")):
             from fac_fake_tpu.compat.torch_weights import (convert_cvit,

@@ -13,17 +13,22 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import numpy as np
+import jax.numpy as jnp
 
 from fac_fake_tpu.models.layers import BN_EPS
 
+# Device-native on purpose: the fold reads/writes stem params where they
+# live. Through the axon relay, pulling them to host first costs seconds
+# (downloads ~3.5 MB/s) while the on-device arithmetic is milliseconds;
+# on the CPU backend jnp == numpy numerics, so golden tests stay exact.
+
 
 def _scale_of(bn_params, bn_stats):
-    scale = np.asarray(bn_params["scale"])
-    bias = np.asarray(bn_params["bias"])
-    mean = np.asarray(bn_stats["mean"])
-    var = np.asarray(bn_stats["var"])
-    g = scale / np.sqrt(var + BN_EPS)
+    scale = jnp.asarray(bn_params["scale"], jnp.float32)
+    bias = jnp.asarray(bn_params["bias"], jnp.float32)
+    mean = jnp.asarray(bn_stats["mean"], jnp.float32)
+    var = jnp.asarray(bn_stats["var"], jnp.float32)
+    g = scale / jnp.sqrt(var + BN_EPS)
     return g, bias - mean * g
 
 
@@ -46,7 +51,7 @@ def fold_stem_bn(spec: Tuple, params: dict, stats: dict) -> Tuple[Tuple, dict, d
         foldable = kind in ("conv", "deconv") and nxt[0] == "bn"
         if foldable:
             g, b = _scale_of(params[f"l{i + 1}"], stats[f"l{i + 1}"])
-            p = {k: np.asarray(v) for k, v in params[name].items()}
+            p = {k: jnp.asarray(v) for k, v in params[name].items()}
             if kind == "conv":
                 p["kernel"] = p["kernel"] * g  # HWIO: scale out channels
                 p["bias"] = p["bias"] * g + b
@@ -55,9 +60,9 @@ def fold_stem_bn(spec: Tuple, params: dict, stats: dict) -> Tuple[Tuple, dict, d
                 # `models/blocks/deconv.py`), then fold the BN into it
                 from fac_fake_tpu.models.blocks.deconv import \
                     compose_deconv_weight
-                w = np.asarray(compose_deconv_weight(
+                w = jnp.asarray(compose_deconv_weight(
                     p["w_cd"], p["w_hd"], p["w_vd"], p["w_ad"], p["w_std"]))
-                total_b = sum(np.asarray(params[name][bk])
+                total_b = sum(jnp.asarray(params[name][bk])
                               for bk in ("b_cd", "b_hd", "b_vd", "b_ad", "b_std"))
                 p = {"kernel": w * g, "bias": total_b * g + b}
                 op = ("conv", op[1])
@@ -75,8 +80,8 @@ def fold_stem_bn(spec: Tuple, params: dict, stats: dict) -> Tuple[Tuple, dict, d
             # (`compat/quantize.py`) can cover the whole stem.
             from fac_fake_tpu.models.blocks.deconv import \
                 compose_deconv_weight
-            p = {k: np.asarray(v) for k, v in params[name].items()}
-            w = np.asarray(compose_deconv_weight(
+            p = {k: jnp.asarray(v) for k, v in params[name].items()}
+            w = jnp.asarray(compose_deconv_weight(
                 p["w_cd"], p["w_hd"], p["w_vd"], p["w_ad"], p["w_std"]))
             total_b = sum(p[bk] for bk in ("b_cd", "b_hd", "b_vd",
                                            "b_ad", "b_std"))

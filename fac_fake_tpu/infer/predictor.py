@@ -114,8 +114,10 @@ class VideoScorer:
                         getattr(self.model, "stem_spec", ())):
                 return 0            # already quantized (racing callers)
             calib = normalize_imagenet(jnp.asarray(calib_crops_u8))
+            # quantize_cvit is device-native: variables stay on device (a
+            # device_get here costs ~100 s on the relay's ~3.5 MB/s downlink)
             model, variables = quantize_cvit(
-                self.model, jax.device_get(self.variables), calib,
+                self.model, self.variables, calib,
                 transformer=self.cfg.infer.quantize == "int8_full")
             n_q = sum(op[0] == "qconv"
                       for f in ("stem_spec", "stem2_spec", "stem3_spec")

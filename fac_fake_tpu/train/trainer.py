@@ -117,9 +117,11 @@ class Trainer:
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         rng = jax.random.key(self.cfg.train.seed if seed is None else seed)
         # init through the train path so schedule-gated branches (e.g.
-        # LinearNorm's RepBN) materialize their params
-        variables = self.model.init(rng, jnp.zeros(self.input_shape, jnp.float32),
-                                    train=True)
+        # LinearNorm's RepBN) materialize their params; under jit so a real
+        # device pays ONE execution, not per-op dispatch round trips
+        variables = jax.jit(
+            lambda k: self.model.init(
+                k, jnp.zeros(self.input_shape, jnp.float32), train=True))(rng)
         params = variables["params"]
         return TrainState(
             step=jnp.asarray(0, jnp.int32),

@@ -27,6 +27,20 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Per-host persistent compile cache (the same one the dryrun uses): the
+# suite's big graphs (the ca_s3d mesh step is ~4 min of XLA:CPU work on this
+# 1-core host) compile once per machine. Safe across machine changes: XLA
+# refuses to load AOT results whose CPU feature set mismatches and silently
+# recompiles (observed, not just documented).
+try:
+    _cache = os.path.join(os.path.expanduser("~"), ".cache",
+                          "fac_fake_tpu_xla_cpu")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:
+    pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
