@@ -287,18 +287,50 @@ STAGES = (
 )
 
 
+def _fake_stages(spec: str):
+    """Test hook (tests/test_bench.py): `_FAC_BENCH_FAKE_STAGES` substitutes
+    tiny synthetic stages ("kind:est,kind:est,…") so the deadline/flush
+    machinery — the thing that actually failed in round 3 (BENCH_r03
+    rc=124/parsed:null) — is pinned by tests without a TPU or even a jax
+    import. `ok` emits the primary row (touching `_FAC_BENCH_FAKE_TOUCH`
+    so the test can synchronize), `err` raises, `hang` sleeps past any
+    test budget."""
+    def ok():
+        _row(value=1234.5)
+        touch = os.environ.get("_FAC_BENCH_FAKE_TOUCH")
+        if touch:
+            with open(touch, "w") as f:
+                f.write("ok")
+    def err():
+        raise RuntimeError("boom")
+    def hang():
+        time.sleep(600)
+    table = {"ok": ok, "err": err, "hang": hang}
+    out = []
+    for i, part in enumerate(spec.split(",")):
+        kind, est = part.split(":")
+        out.append((f"{kind}{i}" if spec.count(kind + ":") > 1 else kind,
+                    table[kind], float(est)))
+    return tuple(out)
+
+
 def _child():
     deadline = time.monotonic() + float(
         os.environ.get("_FAC_BENCH_CHILD_S", "460"))
-    # The first device-touching sync waits for the relay's TPU grant —
-    # measured 0-7 min under contention. Pay it ONCE, record it, and spend
-    # the stage budget on what's left.
-    import jax.numpy as jnp
-    t0 = time.monotonic()
-    float(jnp.ones(()) * 2)
-    _row(tpu_claim_s=round(time.monotonic() - t0, 1))
+    fake = os.environ.get("_FAC_BENCH_FAKE_STAGES")
+    if fake:
+        stages = _fake_stages(fake)
+    else:
+        stages = STAGES
+        # The first device-touching sync waits for the relay's TPU grant —
+        # measured 0-7 min under contention. Pay it ONCE, record it, and
+        # spend the stage budget on what's left.
+        import jax.numpy as jnp
+        t0 = time.monotonic()
+        float(jnp.ones(()) * 2)
+        _row(tpu_claim_s=round(time.monotonic() - t0, 1))
     times = {}
-    for name, fn, est in STAGES:
+    for name, fn, est in stages:
         left = deadline - time.monotonic()
         if left < est:
             _row(**{f"skipped_{name}": "budget"})
