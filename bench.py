@@ -35,12 +35,15 @@ Rows (all crops/s rows at batch 2048 on device-resident uint8):
   * int8_crops_per_sec / int8_flagship_crops_per_sec — PTQ int8 stems
     (compat/quantize.py): the v5e MXU's int8 rate is 2x bf16 exactly where
     the early convs are padding-bound;
-  * int8_full_crops_per_sec — stems + patch-embedding + transformer Dense
-    kernels quantized (where the FLOPs actually are);
+  * int8_full_crops_per_sec / int8_full_flagship_crops_per_sec — stems +
+    patch-embedding + transformer Dense kernels quantized (where the FLOPs
+    actually are);
   * train_img_per_sec — device-cached CViT training (batch 256, bf16, full
     strong_aug), the Trainer's scanned-epoch path;
   * s3d_train_clips_per_sec — CA_S3D (`S3D-train.py:169-171`) training on
     20×224² clips, batch 8, bf16;
+  * s3d_eval_clips_per_sec — CA_S3D inference on the same clips (the
+    `S3D-test.py` scoring forward), eval epoch, no augs/grads;
   * video_p50_s / video_p90_s / videos_per_min — warm end-to-end per-video
     latency over the 8 reference sample videos;
   * videos_per_min_batched — the production throughput path
@@ -154,6 +157,8 @@ def _stage_flagship():
     _row(flagship_crops_per_sec=round(_run(model, variables, crops), 1))
     qm, qv = _quantized(model, variables, "stem")
     _row(int8_flagship_crops_per_sec=round(_run(qm, qv, crops), 1))
+    qm, qv = _quantized(model, variables, "full")
+    _row(int8_full_flagship_crops_per_sec=round(_run(qm, qv, crops), 1))
 
 
 def _stage_train():
@@ -229,6 +234,15 @@ def _stage_s3d():
     dt = time.perf_counter() - t0
     _row(s3d_train_clips_per_sec=round(n / dt, 1))
 
+    # inference: the S3D-test.py replacement's forward (`S3D-test.py:60-77`
+    # scores strided snippets per video) — same clips, eval epoch (no augs,
+    # no grads), the S3D serving-throughput ceiling
+    state, rng, _ = trainer._run_epoch(state, cache, rng, train=False)
+    t0 = time.perf_counter()
+    state, rng, _ = trainer._run_epoch(state, cache, rng, train=False)
+    dt = time.perf_counter() - t0
+    _row(s3d_eval_clips_per_sec=round(n / dt, 1))
+
 
 def _stage_video():
     """Warm p50/p90 per-video latency over the reference sample videos,
@@ -280,9 +294,9 @@ def _stage_video():
 # cold — so it rides last and can never starve the rows above).
 STAGES = (
     ("base", _stage_base, 110),
-    ("flagship", _stage_flagship, 80),
+    ("flagship", _stage_flagship, 115),
     ("train", _stage_train, 60),
-    ("s3d", _stage_s3d, 60),
+    ("s3d", _stage_s3d, 85),
     ("video", _stage_video, 130),
 )
 
@@ -329,6 +343,10 @@ def _child():
         t0 = time.monotonic()
         float(jnp.ones(()) * 2)
         _row(tpu_claim_s=round(time.monotonic() - t0, 1))
+    only = os.environ.get("FAC_BENCH_STAGES")  # "s3d,video": debug subset
+    if only:
+        want = {w.strip() for w in only.split(",")}
+        stages = tuple(s for s in stages if s[0] in want)
     times = {}
     for name, fn, est in stages:
         left = deadline - time.monotonic()
