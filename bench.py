@@ -14,7 +14,9 @@ budget can starve the single end-of-process JSON line (BENCH_r03: rc=124,
 parsed=null). This file is now a PARENT ORCHESTRATOR around ONE measuring
 child process:
 
-  * global wall-clock budget `FAC_BENCH_BUDGET_S` (default 480 s);
+  * global wall-clock budget `FAC_BENCH_BUDGET_S` (default 1800 s —
+    deliberately long, see main(); the skip logic + ALRM backstop are the
+    real bound);
   * the child (`python bench.py --child`) runs stages in importance order —
     the primary crops/s row first, the compile-heavy video path last — and
     streams a `ROW {json}` line as each measurement completes, so however
@@ -372,6 +374,7 @@ class _Orchestrator:
         self.deadline = time.monotonic() + budget_s
         self.rows = {}
         self.child = None
+        self.reader = None
         self.emitted = False
 
     def emit(self):
@@ -398,6 +401,12 @@ class _Orchestrator:
                 self.child.kill()
             except OSError:
                 pass
+        # drain rows the child flushed but the reader thread hasn't consumed
+        # yet (on a 1-core host the signal can land before the reader is
+        # scheduled): the kill above EOFs the pipe, so a bounded join lets
+        # the reader finish the buffered ROW lines before we emit
+        if self.reader is not None:
+            self.reader.join(timeout=2)
         self.emit()
         sys.stdout.flush()
         os._exit(0)
@@ -425,8 +434,8 @@ class _Orchestrator:
                         pass
             pipe.close()
 
-        t = threading.Thread(target=_reader, args=(self.child.stdout,),
-                             daemon=True)
+        t = self.reader = threading.Thread(
+            target=_reader, args=(self.child.stdout,), daemon=True)
         t.start()
         try:
             self.child.wait(timeout=max(5.0, self.deadline - time.monotonic()

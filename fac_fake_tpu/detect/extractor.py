@@ -185,13 +185,19 @@ class FaceExtractor:
         for fd in crops:
             fd["faces"] = fd["faces"][:1]
             fd["scores"] = fd["scores"][:1]
+            if "boxes" in fd:
+                fd["boxes"] = fd["boxes"][:1]
 
     @staticmethod
     def remove_large_crops(crops, pct: float = 0.1):
         """`helpers_face_extract_1.py:319-345`."""
         for fd in crops:
             area = fd["frame_w"] * fd["frame_h"]
-            keep = [(f, s) for f, s in zip(fd["faces"], fd["scores"])
+            boxes = fd.get("boxes") or [None] * len(fd["faces"])
+            keep = [(f, s, b) for f, s, b
+                    in zip(fd["faces"], fd["scores"], boxes)
                     if f.shape[0] * f.shape[1] / area < pct]
-            fd["faces"] = [f for f, _ in keep]
-            fd["scores"] = [s for _, s in keep]
+            fd["faces"] = [f for f, _, _ in keep]
+            fd["scores"] = [s for _, s, _ in keep]
+            if "boxes" in fd:
+                fd["boxes"] = [b for _, _, b in keep]

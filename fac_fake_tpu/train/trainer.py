@@ -496,6 +496,26 @@ class Trainer:
                 print(f"model-graph dump skipped: {e!r}")
 
         t0 = time.time()
+        try:
+            state, history, best = self._epoch_loop(
+                state, rng, start_epoch, history, best, bad_epochs,
+                train_batches_fn, val_batches_fn, writer, ckpt_writer)
+        finally:
+            # drain even when an epoch raises: an in-flight async checkpoint
+            # that never finalizes is exactly the loss crash recovery exists
+            # to prevent (orbax keeps torn writes invisible; closing makes
+            # the last snapshot durable)
+            if writer:
+                writer.close()
+            if ckpt_writer is not None:
+                ckpt_writer.close()
+        history["wall_seconds"] = time.time() - t0
+        history["best_acc"] = best["acc"]
+        return {"state": state, "history": history, "best": best}
+
+    def _epoch_loop(self, state, rng, start_epoch, history, best, bad_epochs,
+                    train_batches_fn, val_batches_fn, writer, ckpt_writer):
+        cfg = self.cfg.train
         for epoch in range(start_epoch, cfg.epochs):
             state, rng, tr = self._run_epoch(state, train_batches_fn(epoch),
                                              rng, train=True)
@@ -553,13 +573,7 @@ class Trainer:
                     print(f"early stop at epoch {epoch}")
                     break
 
-        history["wall_seconds"] = time.time() - t0
-        history["best_acc"] = best["acc"]
-        if writer:
-            writer.close()
-        if ckpt_writer is not None:
-            ckpt_writer.close()    # drain pending async checkpoint writes
-        return {"state": state, "history": history, "best": best}
+        return state, history, best
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -32,6 +32,8 @@ jax.config.update("jax_num_cpu_devices", 8)
 # 1-core host) compile once per machine. Safe across machine changes: XLA
 # refuses to load AOT results whose CPU feature set mismatches and silently
 # recompiles (observed, not just documented).
+# TWIN: __graft_entry__.py _phase_env_cache() is this same block (inline in
+# both on purpose — each must run before package import) — change both.
 try:
     _cache = os.path.join(os.path.expanduser("~"), ".cache",
                           "fac_fake_tpu_xla_cpu")

@@ -52,7 +52,9 @@ def test_sigterm_flushes_partial_json(tmp_path):
             assert time.time() < deadline, "fake ok stage never ran"
             assert proc.poll() is None, "bench exited prematurely"
             time.sleep(0.1)
-        time.sleep(0.5)  # let the parent's reader thread drain the row
+        # no settling sleep on purpose: the SIGTERM handler itself must
+        # drain rows the reader thread hasn't consumed yet (bounded join
+        # after the kill EOFs the pipe) — signal immediately to pin that
         proc.send_signal(signal.SIGTERM)
         out, _ = proc.communicate(timeout=15)
     finally:

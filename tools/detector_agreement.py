@@ -43,13 +43,13 @@ def main():
 
     scorers = None
     if args.score:
-        import jax
-        import jax.numpy as jnp
         from fac_fake_tpu.core.config import Config, ModelConfig
         from fac_fake_tpu.infer.predictor import VideoScorer
-        from fac_fake_tpu.models import build_model
+        from fac_fake_tpu.models import build_model, init_variables
         model = build_model(ModelConfig(name="cvit", dtype="bfloat16"))
-        vs = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+        # jitted init: eager model.init through the axon relay is ~123 s of
+        # per-op dispatches (CLAUDE.md), init_variables is one compile
+        vs = init_variables(model, (1, 224, 224, 3))
         cfg_a = Config()
         cfg_b = Config()
         cfg_b.infer.detector = "mtcnn"
