@@ -156,7 +156,7 @@ class VideoReader:
         return self.read_frames_at_indices(path, [idx])
 
     def stream_frames_at_indices(self, path: str, frame_idxs: Sequence[int],
-                                 chunk: int = 16):
+                                 chunk: int = 16, stop=None):
         """Yield `(frames (K,H,W,3) uint8 RGB, read_idxs)` in `chunk`-sized
         groups while keeping the decoder open between groups, so a caller
         can stop early — e.g. the predictor's 29-crop cap
@@ -164,7 +164,11 @@ class VideoReader:
         the score, and on a 1-core host their decode dominated the latency
         tail. Closing the generator (break + `.close()`) releases the
         capture. Indices must be sorted; duplicates re-emit the decoded
-        frame (the predict policy's doubled frame 0)."""
+        frame (the predict policy's doubled frame 0).
+
+        `stop` (optional zero-arg callable) is checked per grab so a
+        prefetching wrapper (`ChunkPrefetcher`) can abort a chunk decode
+        mid-flight instead of paying for frames past the caller's cap."""
         import cv2
         if len(frame_idxs) == 0:
             return
@@ -177,6 +181,8 @@ class VideoReader:
             for want in frame_idxs:
                 assert want >= decoded_idx, "frame indices must be sorted"
                 while decoded_idx < want:
+                    if stop is not None and stop():
+                        return
                     if not cap.grab():
                         failed = True
                         break
@@ -226,3 +232,63 @@ class VideoReader:
             q = int(frame.shape[0] * self.insets[1])
             frame = frame[q:-q]
         return frame
+
+
+class ChunkPrefetcher:
+    """1-deep background prefetch over a chunk stream: chunk N+1 decodes on
+    a worker thread (cv2 releases the GIL) while the consumer runs chunk N's
+    detection/upload — through the axon relay those are mostly socket-write
+    time, so decode and device work genuinely overlap on a 1-core host
+    (measured: decode 51% / detect 28% / score 18% of warm per-video
+    latency; see PARITY.md "video-path breakdown").
+
+    `make_gen(stop)` builds the underlying generator with a cooperative
+    stop callable (``VideoReader.stream_frames_at_indices(..., stop=...)``)
+    so `close()` aborts an in-flight chunk at frame granularity — the
+    29-crop early exit must not pay for a speculative chunk's full decode.
+    """
+
+    def __init__(self, make_gen):
+        import queue
+        import threading
+        self._stop = threading.Event()
+        self._q = queue.Queue(maxsize=1)
+        self._gen = make_gen(self._stop.is_set)
+        self.error = None
+        self._thread = threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+
+    def _work(self):
+        try:
+            for item in self._gen:
+                if self._stop.is_set():
+                    break
+                self._q.put(item)   # maxsize=1 => decode stays 1 ahead
+        except Exception as e:
+            # VideoReader's error contract: a failed decode ends the stream
+            # (callers see fewer/no frames and score 0.5) — keep the cause
+            # inspectable instead of crashing the worker thread
+            self.error = e
+        finally:
+            self._q.put(None)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is None:
+            raise StopIteration
+        return item
+
+    def close(self):
+        """Stop the worker (frame-granular via the reader's stop hook) and
+        release the decoder."""
+        import queue
+        self._stop.set()
+        try:                        # unblock a worker parked in q.put()
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=10)

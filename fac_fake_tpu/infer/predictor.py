@@ -195,7 +195,7 @@ class VideoScorer:
         can never affect the score. The sampled *indices* for the frames
         actually read are unchanged."""
         import cv2
-        from fac_fake_tpu.data.video import predict_indices
+        from fac_fake_tpu.data.video import ChunkPrefetcher, predict_indices
         from fac_fake_tpu.detect.extractor import FaceExtractor
 
         size = self.cfg.data.image_size
@@ -209,21 +209,31 @@ class VideoScorer:
             else FaceExtractor(None, self.detector)
 
         crops: List[np.ndarray] = []
-        stream = self.reader.stream_frames_at_indices(
-            video_path, idxs, self.GATHER_CHUNK)
-        for frames, _ in stream:
-            if extractor is None:
-                self._boxed_crops_into(crops, frames, size, kind)
-            else:
-                for fd in extractor.process_frames(frames):
-                    for face in fd["faces"][: self.cfg.data.max_faces_per_frame]:
-                        if len(crops) >= 29:  # cap (`cvit_prediction.py:194`)
-                            break
-                        crops.append(cv2.resize(face, (size, size),
-                                                interpolation=cv2.INTER_AREA))
-            if len(crops) >= 29:
-                stream.close()        # early exit: release the decoder now
-                break
+        # 1-deep prefetch: chunk N+1 decodes (CPU, GIL released) while chunk
+        # N's detection runs — through the relay that's mostly upload time,
+        # so the two genuinely overlap even on the 1-core host (measured
+        # decode 51% / detect 28% of warm per-video latency; PARITY.md).
+        # Timing only: detection still sees the same frames in order.
+        stream = ChunkPrefetcher(
+            lambda stop: self.reader.stream_frames_at_indices(
+                video_path, idxs, self.GATHER_CHUNK, stop=stop))
+        try:
+            for frames, _ in stream:
+                if extractor is None:
+                    self._boxed_crops_into(crops, frames, size, kind)
+                else:
+                    for fd in extractor.process_frames(frames):
+                        for face in fd["faces"][
+                                : self.cfg.data.max_faces_per_frame]:
+                            if len(crops) >= 29:  # cap (cvit_prediction:194)
+                                break
+                            crops.append(cv2.resize(
+                                face, (size, size),
+                                interpolation=cv2.INTER_AREA))
+                if len(crops) >= 29:
+                    break
+        finally:
+            stream.close()   # early exit: abort the speculative decode now
         if not crops:
             return np.zeros((0, size, size, 3), np.uint8)
         return np.stack(crops)

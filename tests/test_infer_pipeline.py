@@ -173,8 +173,10 @@ def test_gather_stops_decoding_at_crop_cap():
         def frame_count(self, path):
             return 907                      # samples 90 indices
 
-        def stream_frames_at_indices(self, path, idxs, chunk=16):
+        def stream_frames_at_indices(self, path, idxs, chunk=16, stop=None):
             for lo in range(0, len(idxs), chunk):
+                if stop is not None and stop():
+                    return
                 group = idxs[lo:lo + chunk]
                 emitted.extend(group)
                 yield np.zeros((len(group), 64, 64, 3), np.uint8), group
@@ -191,8 +193,12 @@ def test_gather_stops_decoding_at_crop_cap():
                          detector=FakeDetector(), reader=FakeReader())
     crops = scorer.gather_crops("whatever.mp4")
     assert crops.shape[0] == 29
-    # 29 crops need 29 frames → exactly 2 chunks of 16, not all 90 samples
-    assert len(emitted) == 32, len(emitted)
+    # 29 crops need 29 frames → 2 consumed chunks of 16, plus at most two
+    # speculative chunks from the decode prefetch (ChunkPrefetcher: one
+    # buffered in its 1-deep queue + one in-flight, which the real reader
+    # aborts at frame granularity via `stop`) — never all 90 samples
+    assert len(emitted) <= 64, len(emitted)
+    assert len(emitted) < 90
 
 
 def test_batched_latency_is_per_video():
@@ -266,3 +272,60 @@ def test_mesh_sharded_scoring_matches_single_device():
     np.testing.assert_allclose(
         sharded.score_videos_batched(["0", "1", "2", "3"]),
         plain.score_videos_batched(["0", "1", "2", "3"]), atol=1e-6)
+
+
+def test_chunk_prefetcher_order_exhaustion_and_early_close():
+    """ChunkPrefetcher must preserve item order, terminate cleanly on
+    exhaustion, stay exactly 1 chunk ahead, and abort the producer promptly
+    on close() via the cooperative stop callable."""
+    import threading
+    import time as _time
+
+    from fac_fake_tpu.data.video import ChunkPrefetcher
+
+    # order + exhaustion
+    def gen_all(stop):
+        for i in range(5):
+            yield i
+    pf = ChunkPrefetcher(gen_all)
+    assert list(pf) == [0, 1, 2, 3, 4]
+    pf.close()  # idempotent after exhaustion
+
+    # early close stops the producer via `stop` at item granularity
+    produced = []
+    release = threading.Event()
+
+    def gen_slow(stop):
+        for i in range(100):
+            if stop():
+                return
+            produced.append(i)
+            yield i
+            release.wait(2)          # producer paused mid-stream
+
+    pf = ChunkPrefetcher(gen_slow)
+    assert next(pf) == 0
+    pf._stop.set()                  # what close() sets, before unparking
+    release.set()
+    pf.close()
+    assert not pf._thread.is_alive()
+    # the producer never ran ahead more than the 1-deep buffer allows
+    assert len(produced) <= 3, produced
+
+
+def test_chunk_prefetcher_worker_exception_terminates_stream():
+    from fac_fake_tpu.data.video import ChunkPrefetcher
+
+    def gen_boom(stop):
+        yield 1
+        raise RuntimeError("decoder died")
+
+    pf = ChunkPrefetcher(gen_boom)
+    got = []
+    try:
+        for x in pf:
+            got.append(x)
+    finally:
+        pf.close()
+    assert got == [1]               # error ends the stream, no hang
+    assert isinstance(pf.error, RuntimeError)
