@@ -258,19 +258,37 @@ class ChunkPrefetcher:
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        """Blocking put that aborts when close() signals stop — a plain
+        `Queue.put` here deadlocks close(): its drain can empty the queue
+        *between* the worker's wake-up and re-acquire, so the worker's item
+        lands after the drain exits and the final sentinel put then blocks
+        forever on the refilled 1-slot queue (measured as close()'s 10 s
+        join timeout on every early-exit video)."""
+        import queue
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.05)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _work(self):
         try:
             for item in self._gen:
-                if self._stop.is_set():
+                if not self._put(item):   # 1-deep queue: decode stays 1 ahead
                     break
-                self._q.put(item)   # maxsize=1 => decode stays 1 ahead
         except Exception as e:
             # VideoReader's error contract: a failed decode ends the stream
             # (callers see fewer/no frames and score 0.5) — keep the cause
             # inspectable instead of crashing the worker thread
             self.error = e
         finally:
-            self._q.put(None)
+            # end-of-stream sentinel must not outlive a close(): cooperative
+            # put, skipped entirely once stop is set (the consumer is in
+            # close() and will never read it)
+            self._put(None)
 
     def __iter__(self):
         return self
@@ -283,10 +301,12 @@ class ChunkPrefetcher:
 
     def close(self):
         """Stop the worker (frame-granular via the reader's stop hook) and
-        release the decoder."""
+        release the decoder. Must be called by the consuming thread (the
+        predictor's contract): a concurrent __next__ during close() could
+        miss the sentinel and block."""
         import queue
         self._stop.set()
-        try:                        # unblock a worker parked in q.put()
+        try:                        # discard anything already buffered
             while True:
                 self._q.get_nowait()
         except queue.Empty:

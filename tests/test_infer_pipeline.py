@@ -313,6 +313,31 @@ def test_chunk_prefetcher_order_exhaustion_and_early_close():
     assert len(produced) <= 3, produced
 
 
+def test_chunk_prefetcher_close_is_fast_with_saturated_producer():
+    """Regression: close() while the worker is blocked in put() must not
+    eat the 10 s join timeout. The old sentinel put raced close()'s drain —
+    the worker's in-flight item could land *after* the drain emptied the
+    queue, so the final put(None) blocked forever on the refilled 1-slot
+    queue (observed as a reproducible +10 s on every early-exit video)."""
+    import time as _time
+
+    from fac_fake_tpu.data.video import ChunkPrefetcher
+
+    def gen_fast(stop):
+        i = 0
+        while not stop():
+            yield i
+            i += 1
+
+    pf = ChunkPrefetcher(gen_fast)
+    assert next(pf) == 0
+    _time.sleep(0.2)                # worker fills the queue, parks in put()
+    t0 = _time.monotonic()
+    pf.close()
+    assert _time.monotonic() - t0 < 2.0
+    assert not pf._thread.is_alive()
+
+
 def test_chunk_prefetcher_worker_exception_terminates_stream():
     from fac_fake_tpu.data.video import ChunkPrefetcher
 
