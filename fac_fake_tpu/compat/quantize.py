@@ -202,6 +202,12 @@ def quantize_cvit(model, variables, calib_x, transformer: bool = False):
         for n, _f in stems[1:]:
             if f"{n}_input" in sows:
                 inputs[n] = sows[f"{n}_input"][0]
+        # the spec updates above were built for every planned stem, so every
+        # planned stem MUST have its calibration input here — a missing sow
+        # would return a model whose spec references kernel_q params that
+        # were never created (trace-time check: sows presence is static)
+        missing = [n for n, _f in stems if plans[n][1] and n not in inputs]
+        assert not missing, f"no calibration sow for stem(s) {missing}"
         for n, f in stems:
             if plans[n][1] and n in inputs:
                 params[n] = _rewrite_stem(getattr(model, f), params[n],

@@ -280,9 +280,11 @@ class ChunkPrefetcher:
                 if not self._put(item):   # 1-deep queue: decode stays 1 ahead
                     break
         except Exception as e:
-            # VideoReader's error contract: a failed decode ends the stream
-            # (callers see fewer/no frames and score 0.5) — keep the cause
-            # inspectable instead of crashing the worker thread
+            # transparency contract: an exception in the wrapped generator is
+            # stashed here and RE-RAISED by the consumer's __next__ at end of
+            # stream — exactly what iterating the generator directly would do
+            # (a worker-thread crash must not silently truncate the stream:
+            # the video would score from partial crops with no signal)
             self.error = e
         finally:
             # end-of-stream sentinel must not outlive a close(): cooperative
@@ -296,6 +298,8 @@ class ChunkPrefetcher:
     def __next__(self):
         item = self._q.get()
         if item is None:
+            if self.error is not None:
+                raise self.error       # the generator's own exception
             raise StopIteration
         return item
 

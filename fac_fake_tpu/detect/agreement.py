@@ -78,15 +78,17 @@ def aggregate(frames: Sequence[Dict]) -> Dict:
     n_b = sum(f["n_b"] for f in frames)
     matched = sum(f["n_matched"] for f in frames)
     ious = [v for f in frames for v in f["matched_ious"]]
+    # undefined stats are None, not float('nan'): the CLI prints reports via
+    # json.dumps, and bare NaN is non-standard JSON (jq/JSON.parse reject it)
     return {
         "frames": len(frames),
         "boxes_a": n_a,
         "boxes_b": n_b,
         "matched": matched,
-        "recall_a_by_b": matched / n_a if n_a else float("nan"),
-        "recall_b_by_a": matched / n_b if n_b else float("nan"),
-        "mean_iou": float(np.mean(ious)) if ious else float("nan"),
-        "median_iou": float(np.median(ious)) if ious else float("nan"),
+        "recall_a_by_b": matched / n_a if n_a else None,
+        "recall_b_by_a": matched / n_b if n_b else None,
+        "mean_iou": float(np.mean(ious)) if ious else None,
+        "median_iou": float(np.median(ious)) if ious else None,
     }
 
 
@@ -168,10 +170,10 @@ def agreement_report(video_paths: Sequence[str], det_a: Callable,
         "matched": sum(v["matched"] for v in videos.values()),
     }
     ious = [v["mean_iou"] for v in videos.values()
-            if np.isfinite(v["mean_iou"])]
-    totals["mean_iou"] = float(np.mean(ious)) if ious else float("nan")
+            if v["mean_iou"] is not None and np.isfinite(v["mean_iou"])]
+    totals["mean_iou"] = float(np.mean(ious)) if ious else None
     totals["recall_a_by_b"] = (totals["matched"] / totals["boxes_a"]
-                               if totals["boxes_a"] else float("nan"))
+                               if totals["boxes_a"] else None)
     totals["recall_b_by_a"] = (totals["matched"] / totals["boxes_b"]
-                               if totals["boxes_b"] else float("nan"))
+                               if totals["boxes_b"] else None)
     return {"videos": videos, "totals": totals}

@@ -109,10 +109,16 @@ class VideoScorer:
         from fac_fake_tpu.compat.quantize import quantize_cvit
         from fac_fake_tpu.ops.preprocess import normalize_imagenet
         with self._lazy_lock:
-            if not self._quant_pending and \
-                    any(op[0] == "qconv" for op in
-                        getattr(self.model, "stem_spec", ())):
-                return 0            # already quantized (racing callers)
+            already = any(op[0] == "qconv" for op in
+                          getattr(self.model, "stem_spec", ())) or \
+                getattr(self.model, "quant_dense", False)
+            if not self._quant_pending and already:
+                # already quantized (racing callers, or a second explicit
+                # call). The quant_dense check matters for int8_full on a
+                # model whose stem prefix quantized zero convs: re-running
+                # quantize_cvit on the rewritten tree would KeyError on the
+                # now-missing fp 'kernel' leaves.
+                return 0
             calib = normalize_imagenet(jnp.asarray(calib_crops_u8))
             # quantize_cvit is device-native: variables stay on device (a
             # device_get here costs ~100 s on the relay's ~3.5 MB/s downlink)

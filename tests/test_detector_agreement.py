@@ -88,3 +88,16 @@ def test_agreement_report_on_sample_video():
     assert rec["boxes_a"] > 0          # BlazeFace finds the face
     assert rec["boxes_b"] >= 0
     assert {"recall_a_by_b", "recall_b_by_a", "mean_iou"} <= set(rec)
+
+
+def test_empty_box_report_is_strict_json():
+    """Undefined recalls/IoUs serialize as null, never bare NaN: the CLI
+    (tools/detector_agreement.py) prints reports via json.dumps and strict
+    parsers (jq, JSON.parse) reject non-standard NaN literals."""
+    import json
+    from fac_fake_tpu.detect.agreement import aggregate, frame_agreement
+    empty = np.zeros((0, 4), np.float32)
+    rec = aggregate([frame_agreement(empty, empty)])
+    assert rec["recall_a_by_b"] is None
+    assert rec["mean_iou"] is None
+    json.loads(json.dumps(rec, allow_nan=False))  # raises on any NaN leaf

@@ -348,9 +348,13 @@ def test_chunk_prefetcher_worker_exception_terminates_stream():
     pf = ChunkPrefetcher(gen_boom)
     got = []
     try:
-        for x in pf:
-            got.append(x)
+        # transparency: the worker's exception re-raises in the consumer at
+        # end of stream, exactly like iterating the generator directly —
+        # a silently truncated stream would score videos from partial crops
+        with pytest.raises(RuntimeError, match="decoder died"):
+            for x in pf:
+                got.append(x)
     finally:
         pf.close()
-    assert got == [1]               # error ends the stream, no hang
+    assert got == [1]               # items before the error still arrive
     assert isinstance(pf.error, RuntimeError)
