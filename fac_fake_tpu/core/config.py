@@ -280,6 +280,9 @@ class InferConfig:
     # MTCNN predict-path preset; masking uses [0.65,0.75,0.75], sx
     # preprocessing [0.85,0.95,0.95] (SURVEY §L2)
     mtcnn_thresholds: Tuple[float, float, float] = (0.6, 0.7, 0.7)
+    # converted facenet_pytorch cascade weights (.npz from
+    # cli.import_mtcnn); empty = architecture-only random init
+    mtcnn_weights: str = ""
     # parity: replicate reference chunk boundaries 0:32/32:64/64:90 and the
     # per-chunk pos-embedding row assignment (cvit_prediction.py:224-238)
     parity_chunking: bool = True

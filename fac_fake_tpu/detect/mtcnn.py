@@ -378,3 +378,53 @@ def convert_mtcnn(state_dict: Dict[str, np.ndarray]) -> Dict:
                     ["dense5", "dense6_1", "dense6_2", "dense6_3"],
                     ["prelu1", "prelu2", "prelu3", "prelu4", "prelu5"]),
     }
+
+
+def validate_mtcnn_variables(variables: Dict) -> Dict:
+    """Shape-check a converted cascade tree against a freshly initialized
+    one (the repo convention: converters walk OUR initialized tree). Raises
+    ValueError naming the first mismatched leaf; returns `variables`."""
+    ref = MTCNN().variables
+    flat_ref = {jax.tree_util.keystr(k): v.shape for k, v in
+                jax.tree_util.tree_leaves_with_path(ref)}
+    flat_new = {jax.tree_util.keystr(k): np.asarray(v).shape for k, v in
+                jax.tree_util.tree_leaves_with_path(variables)}
+    for key, shape in flat_ref.items():
+        if key not in flat_new:
+            raise ValueError(f"converted MTCNN tree is missing {key}")
+        if tuple(flat_new[key]) != tuple(shape):
+            raise ValueError(
+                f"MTCNN leaf {key} has shape {flat_new[key]}, "
+                f"expected {shape}")
+    extra = set(flat_new) - set(flat_ref)
+    if extra:
+        raise ValueError(f"converted MTCNN tree has extra leaves {sorted(extra)}")
+    return variables
+
+
+_NPZ_SEP = "/"
+
+
+def save_mtcnn_npz(variables: Dict, path: str) -> None:
+    """Serialize a cascade variables tree to a flat-key .npz
+    (`pnet/params/conv1/kernel` → array) — no pickle, loadable anywhere."""
+    flat = {}
+    for k, v in jax.tree_util.tree_leaves_with_path(variables):
+        name = _NPZ_SEP.join(
+            getattr(p, "key", getattr(p, "name", str(p))) for p in k)
+        flat[name] = np.asarray(v)
+    np.savez(path, **flat)
+
+
+def load_mtcnn_npz(path: str) -> Dict:
+    """Inverse of `save_mtcnn_npz`: flat-key .npz → nested variables tree,
+    shape-validated against the initialized cascade."""
+    with np.load(path) as data:
+        tree: Dict = {}
+        for name in data.files:
+            node = tree
+            *parents, leaf = name.split(_NPZ_SEP)
+            for p in parents:
+                node = node.setdefault(p, {})
+            node[leaf] = data[name]
+    return validate_mtcnn_variables(tree)

@@ -162,8 +162,11 @@ class VideoScorer:
                     return self._detector
                 kind = self.cfg.infer.detector
                 if kind == "mtcnn":
-                    from fac_fake_tpu.detect.mtcnn import MTCNN
+                    from fac_fake_tpu.detect.mtcnn import (MTCNN,
+                                                           load_mtcnn_npz)
+                    weights = self.cfg.infer.mtcnn_weights
                     self._detector = MTCNN(
+                        variables=load_mtcnn_npz(weights) if weights else None,
                         thresholds=self.cfg.infer.mtcnn_thresholds)
                 elif kind == "face_recognition":
                     import face_recognition  # noqa: F401 — external dlib lib

@@ -10,8 +10,10 @@ end-to-end CViT score delta.
         --frames 8 --score
 
 facenet_pytorch's pretrained MTCNN weights don't exist in this image, so
-the default cascade is randomly initialized (PARITY.md caveat); pass
---mtcnn-weights with a converted orbax/npz tree for real numbers.
+the default cascade is randomly initialized (PARITY.md caveat); convert
+real weights with `python -m fac_fake_tpu.cli.import_mtcnn out.npz --pnet
+pnet.pt --rnet rnet.pt --onet onet.pt` and pass --mtcnn-weights out.npz
+for real numbers.
 """
 import argparse
 import json
@@ -30,7 +32,8 @@ def main():
                     help="also score each video through the same CViT with "
                          "each detector (slow: two predict pipelines)")
     ap.add_argument("--mtcnn-weights", default=None,
-                    help="npz of converted facenet_pytorch P/R/O-net weights")
+                    help="npz of converted facenet_pytorch P/R/O-net weights "
+                         "(written by cli.import_mtcnn)")
     args = ap.parse_args()
 
     from fac_fake_tpu.detect.agreement import (agreement_report,
@@ -38,8 +41,8 @@ def main():
                                                mtcnn_boxes_fn)
     variables = None
     if args.mtcnn_weights:
-        import numpy as np
-        variables = dict(np.load(args.mtcnn_weights, allow_pickle=True))
+        from fac_fake_tpu.detect.mtcnn import load_mtcnn_npz
+        variables = load_mtcnn_npz(args.mtcnn_weights)
 
     scorers = None
     if args.score:
@@ -53,6 +56,8 @@ def main():
         cfg_a = Config()
         cfg_b = Config()
         cfg_b.infer.detector = "mtcnn"
+        if args.mtcnn_weights:
+            cfg_b.infer.mtcnn_weights = args.mtcnn_weights
         scorers = (VideoScorer(model, vs, cfg_a),
                    VideoScorer(model, vs, cfg_b))
 
