@@ -245,6 +245,37 @@ def _stage_s3d():
     dt = time.perf_counter() - t0
     _row(s3d_eval_clips_per_sec=round(n / dt, 1))
 
+    # int8 PTQ eval (round-5 VERDICT #1b): BN folded into the convs, every
+    # SepConv3d factor + Inception 1×1×1 branch int8 on the MXU
+    # (`compat/quantize_s3d.py`). Unlike the CViT stems, the mixes contract
+    # 64–1024 channels — not MXU-output-underfill-bound — so the 2× int8
+    # rate should pay here; this row is the use-or-lose measurement.
+    import jax.numpy as jnp
+    from fac_fake_tpu.compat.quantize_s3d import quantize_s3d
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    calib = jnp.asarray(
+        gen.integers(0, 255, (2, frames, size, size, 3), dtype=np.uint8),
+        jnp.float32)
+    engine = quantize_s3d(trainer.model, variables, calib)
+    clips_u8 = jax.device_put(
+        gen.integers(0, 255, (batch, frames, size, size, 3), dtype=np.uint8))
+
+    @jax.jit
+    def qstep(vs, qp, clips, carry):
+        logits = engine._int8_forward(vs, qp, clips)
+        # chained carry: one final fetch waits for the whole iteration
+        # chain (same honest-timing trick as `_run`)
+        return jnp.sum(logits) + carry * jnp.float32(1e-30)
+
+    carry = qstep(variables, engine.qparams, clips_u8, jnp.float32(0.0))
+    float(carry)                                     # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        carry = qstep(variables, engine.qparams, clips_u8, carry)
+    float(carry)
+    dt = time.perf_counter() - t0
+    _row(int8_s3d_eval_clips_per_sec=round(n / dt, 1))
+
 
 def _stage_video():
     """Warm p50/p90 per-video latency over the reference sample videos,
@@ -284,10 +315,23 @@ def _stage_video():
 
     # production throughput path: packed V-slot forwards, pipelined gathers
     scorer.score_videos_batched(paths, workers)     # warm the packed graphs
+    st = scorer.enable_stage_stats()                # breakdown of the timed run
     t0 = time.perf_counter()
     scorer.score_videos_batched(paths, workers)
     wall_b = time.perf_counter() - t0
     _row(videos_per_min_batched=round(60.0 * len(paths) / wall_b, 1))
+    # the decode floor IS the ceiling on this host: decode is the 1-core
+    # serial resource (detect/score overlap it through the relay), so
+    # speed-of-light = 60 / (decode_s per video). Stated next to the
+    # throughput rows per VERDICT r4 #3; PARITY.md "video-path breakdown".
+    if st["decode_s"] > 0:
+        _row(video_decode_ms_per_frame=round(1e3 * st["decode_s"]
+                                             / max(st["frames"], 1), 1),
+             video_split_decode_detect_score=[
+                 round(st["decode_s"], 2), round(st["detect_s"], 2),
+                 round(st["score_s"], 2)],
+             videos_per_min_ceiling=round(
+                 60.0 * len(paths) / st["decode_s"], 1))
 
 
 # (name, fn, warm-path estimate s) in importance order: the primary row
@@ -298,7 +342,7 @@ STAGES = (
     ("base", _stage_base, 110),
     ("flagship", _stage_flagship, 115),
     ("train", _stage_train, 60),
-    ("s3d", _stage_s3d, 85),
+    ("s3d", _stage_s3d, 150),
     ("video", _stage_video, 130),
 )
 

@@ -12,6 +12,11 @@ def _enable_compilation_cache():
         return
     try:
         import jax
+        if "cpu" in str(getattr(jax.config, "jax_platforms", None) or "").lower():
+            # platform switched to CPU via the config API (the env var is
+            # latched by sitecustomize, so ad-hoc CPU scripts do this) —
+            # same machine-feature hazard as the env guard above
+            return
         if jax.config.jax_compilation_cache_dir:
             # caller already chose a cache (e.g. __graft_entry__'s per-host
             # CPU cache, or the platform was switched to CPU via the config

@@ -255,6 +255,10 @@ class ChunkPrefetcher:
         self._q = queue.Queue(maxsize=1)
         self._gen = make_gen(self._stop.is_set)
         self.error = None
+        # producer-side decode time (s): what the worker spent inside the
+        # wrapped generator — the serial-resource cost the 1-core host pays
+        # per video even with perfect overlap (PARITY "video-path breakdown")
+        self.decode_s = 0.0
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 
@@ -275,8 +279,16 @@ class ChunkPrefetcher:
         return False
 
     def _work(self):
+        import time
+        gen = iter(self._gen)
         try:
-            for item in self._gen:
+            while True:
+                t0 = time.perf_counter()
+                try:
+                    item = next(gen)
+                except StopIteration:
+                    break
+                self.decode_s += time.perf_counter() - t0
                 if not self._put(item):   # 1-deep queue: decode stays 1 ahead
                     break
         except Exception as e:

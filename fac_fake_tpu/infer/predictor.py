@@ -23,6 +23,7 @@ safe here: JAX dispatch is thread-safe, the model is pure).
 from __future__ import annotations
 
 import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Sequence
 
@@ -226,8 +227,11 @@ class VideoScorer:
         stream = ChunkPrefetcher(
             lambda stop: self.reader.stream_frames_at_indices(
                 video_path, idxs, self.GATHER_CHUNK, stop=stop))
+        stats = getattr(self, "stage_stats", None)  # opt-in breakdown timers
+        detect_s, frames_read = 0.0, 0
         try:
             for frames, _ in stream:
+                t0 = time.perf_counter() if stats is not None else 0.0
                 if extractor is None:
                     self._boxed_crops_into(crops, frames, size, kind)
                 else:
@@ -239,10 +243,17 @@ class VideoScorer:
                             crops.append(cv2.resize(
                                 face, (size, size),
                                 interpolation=cv2.INTER_AREA))
+                if stats is not None:
+                    detect_s += time.perf_counter() - t0
+                    frames_read += len(frames)
                 if len(crops) >= 29:
                     break
         finally:
             stream.close()   # early exit: abort the speculative decode now
+            if stats is not None:
+                stats["decode_s"] += stream.decode_s
+                stats["detect_s"] += detect_s
+                stats["frames"] += frames_read
         if not crops:
             return np.zeros((0, size, size, 3), np.uint8)
         return np.stack(crops)
@@ -287,9 +298,13 @@ class VideoScorer:
         cap = self.capacity
         padded = np.zeros((cap, *crops_u8.shape[1:]), np.uint8)
         padded[: min(n, cap)] = crops_u8[:cap]
-        prob = self._score(self.variables, self._put_crops(padded),
-                           jnp.asarray(min(n, cap), jnp.int32))
-        return float(prob)
+        stats = getattr(self, "stage_stats", None)
+        t0 = time.perf_counter() if stats is not None else 0.0
+        prob = float(self._score(self.variables, self._put_crops(padded),
+                                 jnp.asarray(min(n, cap), jnp.int32)))
+        if stats is not None:
+            stats["score_s"] += time.perf_counter() - t0
+        return prob
 
     def score_video(self, video_path: str) -> float:
         import time
@@ -309,6 +324,18 @@ class VideoScorer:
         return {"p50_s": lats[len(lats) // 2],
                 "p90_s": lats[int(len(lats) * 0.9)],
                 "count": len(lats)}
+
+    def enable_stage_stats(self) -> dict:
+        """Opt-in per-stage timers for the video path: accumulated decode /
+        detect / score seconds + frames decoded across subsequent
+        gather/score calls. Decode is producer-side time inside the chunk
+        generator (the 1-core host's serial resource — its per-video cost is
+        the latency floor PARITY.md "video-path breakdown" pins); detect and
+        score overlap it via `ChunkPrefetcher`, so the three shares are
+        component costs, not additive wall-clock."""
+        self.stage_stats = {"decode_s": 0.0, "detect_s": 0.0,
+                            "score_s": 0.0, "frames": 0}
+        return self.stage_stats
 
     @staticmethod
     def default_workers() -> int:
@@ -370,8 +397,12 @@ class VideoScorer:
             n = min(crops.shape[0], slot)
             packed[k, :n] = crops[:n]
             counts[k] = n
+        stats = getattr(self, "stage_stats", None)
+        t0 = time.perf_counter() if stats is not None else 0.0
         probs = np.asarray(self._batched_fn(v_cap)(
             self.variables, self._put_crops(packed), jnp.asarray(counts)))
+        if stats is not None:
+            stats["score_s"] += time.perf_counter() - t0
         for k, (i, _) in enumerate(chunk):
             results[i] = float(probs[k])
 

@@ -313,6 +313,50 @@ def test_chunk_prefetcher_order_exhaustion_and_early_close():
     assert len(produced) <= 3, produced
 
 
+def test_chunk_prefetcher_accounts_decode_time():
+    """`decode_s` accumulates producer-side generator time — the serial
+    decode cost PARITY.md's video-path breakdown (and bench.py's
+    `videos_per_min_ceiling` row) is derived from."""
+    import time as _time
+
+    from fac_fake_tpu.data.video import ChunkPrefetcher
+
+    def gen_sleepy(stop):
+        for i in range(4):
+            _time.sleep(0.03)
+            yield i
+
+    pf = ChunkPrefetcher(gen_sleepy)
+    assert list(pf) == [0, 1, 2, 3]
+    pf.close()
+    assert 0.10 <= pf.decode_s <= 2.0, pf.decode_s
+
+
+def test_scorer_stage_stats_accumulate():
+    """enable_stage_stats(): score_crops adds score_s; gather-side decode /
+    detect / frames come from the instrumented stream (exercised here via
+    the packed batched path + a stub stream-less gather, so the contract —
+    keys exist and accumulate — is pinned without a real video file)."""
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.core.config import Config
+    from fac_fake_tpu.infer.predictor import VideoScorer
+
+    model = _tiny_cvit()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+    scorer = VideoScorer(model, variables, Config())
+    st = scorer.enable_stage_stats()
+    assert set(st) == {"decode_s", "detect_s", "score_s", "frames"}
+    crops = np.random.default_rng(0).integers(
+        0, 255, (5, 224, 224, 3), dtype=np.uint8)
+    scorer.score_crops(crops)
+    assert st["score_s"] > 0.0
+    before = st["score_s"]
+    scorer.gather_crops = lambda p: crops
+    scorer.score_videos_batched(["a", "b"])
+    assert st["score_s"] > before          # _score_packed accumulates too
+
+
 def test_chunk_prefetcher_close_is_fast_with_saturated_producer():
     """Regression: close() while the worker is blocked in put() must not
     eat the 10 s join timeout. The old sentinel put raced close()'s drain —
