@@ -239,8 +239,8 @@ class ChunkPrefetcher:
     a worker thread (cv2 releases the GIL) while the consumer runs chunk N's
     detection/upload — through the axon relay those are mostly socket-write
     time, so decode and device work genuinely overlap on a 1-core host
-    (measured: decode 51% / detect 28% / score 18% of warm per-video
-    latency; see PARITY.md "video-path breakdown").
+    (measured: decode 58% / detect 34% / score 8% of component time,
+    44.6 ms/frame decode; see PARITY.md "video-path breakdown").
 
     `make_gen(stop)` builds the underlying generator with a cooperative
     stop callable (``VideoReader.stream_frames_at_indices(..., stop=...)``)

@@ -139,6 +139,83 @@ def video_agreement(frames: np.ndarray, det_a: Callable, det_b: Callable,
     return aggregate(per_frame)
 
 
+def mask_geometry_report(video_paths: Sequence[str],
+                         frames_per_video: int = 8,
+                         landmarks_fn: Optional[Callable] = None) -> Dict:
+    """Drive the S7 mask geometry (`data/masking.py mask_regions` /
+    `apply_face_mask`, reference `get_masked_face_simple.py:48-101`) with a
+    REAL landmark source — by default BlazeFace's in-repo pretrained
+    keypoints (`landmarks_from_blazeface`) — and report what the geometry
+    produces over real frames. This is the VERDICT-r4 #4 fallback for the
+    unavailable pretrained MTCNN: the masking pipeline's geometry gets
+    validated end to end on real detections; only the landmark *source*
+    swaps when real cascade weights arrive (`cli.import_mtcnn`).
+
+    Per frame: landmark hit, geometric sanity (eyes above mouth, left eye
+    left of right eye), the 8 regions' total area fraction, and the masked
+    fraction of a deterministic 4-region black mask.
+    """
+    import os
+    from fac_fake_tpu.data.masking import (apply_face_mask,
+                                           landmarks_from_blazeface,
+                                           mask_regions)
+    from fac_fake_tpu.data.video import VideoReader, evenly_spaced_indices
+
+    if landmarks_fn is None:
+        from fac_fake_tpu.detect.blazeface import BlazeFace
+        det = BlazeFace.from_reference_assets()
+        landmarks_fn = lambda img: landmarks_from_blazeface(det, img)  # noqa: E731
+
+    reader = VideoReader()
+    videos = {}
+    for path in video_paths:
+        n = reader.frame_count(path)
+        if n <= 0:
+            continue
+        idxs = evenly_spaced_indices(n, min(frames_per_video, n))
+        frames, _ = reader.read_frames_at_indices(path, idxs)
+        hits, sane, area_fracs, masked_fracs = 0, 0, [], []
+        for frame in frames:
+            lm = landmarks_fn(frame)
+            if lm is None:
+                continue
+            hits += 1
+            h, w = frame.shape[:2]
+            lm = np.asarray(lm, np.float32)
+            # l_eye, r_eye, nose, mouth_l, mouth_r (masking.py order)
+            if (lm[0][0] < lm[1][0]
+                    and max(lm[0][1], lm[1][1]) < min(lm[3][1], lm[4][1])):
+                sane += 1
+            regions = mask_regions(h, w, lm)
+            area = sum(max(y1 - y0, 0) * max(x1 - x0, 0)
+                       for y0, y1, x0, x1 in regions)
+            area_fracs.append(area / float(h * w))
+            masked = apply_face_mask(frame, lm, [0, 1, 2, 3], "black")
+            masked_fracs.append(float(
+                np.mean(np.all(masked == 0, axis=-1))
+                - np.mean(np.all(frame == 0, axis=-1))))
+        videos[os.path.basename(path)] = {
+            "frames": len(frames),
+            "landmark_hits": hits,
+            "geometry_sane": sane,
+            "mean_region_area_frac": (float(np.mean(area_fracs))
+                                      if area_fracs else None),
+            "mean_masked_frac_4regions": (float(np.mean(masked_fracs))
+                                          if masked_fracs else None),
+        }
+    tot_frames = sum(v["frames"] for v in videos.values())
+    tot_hits = sum(v["landmark_hits"] for v in videos.values())
+    tot_sane = sum(v["geometry_sane"] for v in videos.values())
+    return {
+        "videos": videos,
+        "totals": {
+            "frames": tot_frames,
+            "landmark_hit_rate": tot_hits / tot_frames if tot_frames else None,
+            "geometry_sane_rate": tot_sane / tot_hits if tot_hits else None,
+        },
+    }
+
+
 def agreement_report(video_paths: Sequence[str], det_a: Callable,
                      det_b: Callable, frames_per_video: int = 8,
                      scorers: Optional[tuple] = None,

@@ -222,8 +222,8 @@ class VideoScorer:
         # 1-deep prefetch: chunk N+1 decodes (CPU, GIL released) while chunk
         # N's detection runs — through the relay that's mostly upload time,
         # so the two genuinely overlap even on the 1-core host (measured
-        # decode 51% / detect 28% of warm per-video latency; PARITY.md).
-        # Timing only: detection still sees the same frames in order.
+        # decode 58% / detect 34% of component time; PARITY.md "video-path
+        # breakdown"). Timing only: detection sees the same frames in order.
         stream = ChunkPrefetcher(
             lambda stop: self.reader.stream_frames_at_indices(
                 video_path, idxs, self.GATHER_CHUNK, stop=stop))

@@ -34,7 +34,18 @@ def main():
     ap.add_argument("--mtcnn-weights", default=None,
                     help="npz of converted facenet_pytorch P/R/O-net weights "
                          "(written by cli.import_mtcnn)")
+    ap.add_argument("--masks", action="store_true",
+                    help="instead of box agreement, drive the S7 mask "
+                         "geometry with real BlazeFace landmarks and report "
+                         "hit/sanity/area stats (PARITY 'mask geometry on "
+                         "real landmarks')")
     args = ap.parse_args()
+
+    if args.masks:
+        from fac_fake_tpu.detect.agreement import mask_geometry_report
+        rep = mask_geometry_report(args.videos, frames_per_video=args.frames)
+        print(json.dumps(rep, indent=2, default=float))
+        return
 
     from fac_fake_tpu.detect.agreement import (agreement_report,
                                                blazeface_boxes_fn,

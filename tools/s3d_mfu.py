@@ -1,0 +1,134 @@
+"""S3D performance accounting: XLA-counted FLOPs + measured step times → MFU.
+
+VERDICT r4 #1a: CViT has an op-profile, per-stage MFU and an underfill bound
+(README "Why train MFU…"); this gives the S3D family the same treatment.
+One process, run AFTER `FAC_BENCH_STAGES=s3d bench.py` so the relay grant is
+warm and throughputs exist to cross-check:
+
+    python tools/s3d_mfu.py            # → one JSON dict on stdout
+
+Prints, for the ca_s3d bench workload (b8, 20×224², bf16):
+  * eval forward FLOPs (XLA cost analysis) and GFLOP/clip;
+  * train step FLOPs (loss+grad, the trainer's arithmetic);
+  * measured ms/step for both (chained-carry timing, device-resident input);
+  * MFU vs the v5e 197 TFLOP/s bf16 peak;
+  * the int8 engine's step time and its MFU vs the 394 TOP/s int8 peak.
+
+The reference scoring loop this accounts for: `S3D/S3D-test.py:260-286`;
+training: `S3D-train.py:318-443`.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PEAK_BF16 = 197e12   # v5e per-chip
+PEAK_INT8 = 394e12
+
+BATCH, FRAMES, SIZE = 8, 20, 224
+
+
+def _time_step(step, *args, iters=12):
+    carry = jnp.float32(0.0)
+    carry = step(*args, carry)
+    float(carry)                       # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry = step(*args, carry)
+    float(carry)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from fac_fake_tpu.core.config import Config
+    from fac_fake_tpu.models import build_model, init_variables
+    from fac_fake_tpu.train.trainer import Trainer
+
+    cfg = Config()
+    cfg.model.name = "ca_s3d"
+    cfg.model.dtype = "bfloat16"
+    cfg.data.image_size = SIZE
+    cfg.data.normalize = "raw255"
+    cfg.train.loss = "bce_weighted"
+    cfg.train.log_every = 0
+
+    model = build_model(cfg.model)
+    variables = init_variables(model, (1, FRAMES, SIZE, SIZE, 3))
+    gen = np.random.default_rng(0)
+    clips_u8 = jax.device_put(gen.integers(
+        0, 255, (BATCH, FRAMES, SIZE, SIZE, 3), dtype=np.uint8))
+    out = {}
+
+    # --- eval forward ------------------------------------------------------
+    def fwd(v, clips, carry):
+        logits = model.apply(v, clips.astype(jnp.float32), train=False)
+        return jnp.sum(logits) + carry * jnp.float32(1e-30)
+
+    compiled = jax.jit(fwd).lower(
+        variables, clips_u8, jnp.float32(0.0)).compile()
+    fl_eval = float(compiled.cost_analysis()["flops"])
+    ms_eval = 1e3 * _time_step(jax.jit(fwd), variables, clips_u8)
+    out["eval_gflop_per_clip"] = round(fl_eval / BATCH / 1e9, 2)
+    out["eval_ms_per_step_b8"] = round(ms_eval, 2)
+    out["eval_clips_per_sec"] = round(BATCH / (ms_eval / 1e3), 1)
+    out["eval_mfu_bf16"] = round(fl_eval / (ms_eval / 1e3) / PEAK_BF16, 3)
+
+    # --- train step (loss + grads, the trainer's arithmetic) ---------------
+    trainer = Trainer(model, cfg, loss_kwargs={"pos_weight": 1.0},
+                      input_shape=(1, FRAMES, SIZE, SIZE, 3))
+    state = trainer.init_state()
+    labels = jnp.asarray(gen.integers(0, 2, (BATCH,)).astype(np.int32))
+
+    def train_step(params, bs, clips, labels, carry):
+        def loss_of(p):
+            vs = {"params": p, "batch_stats": bs}
+            logits, mut = model.apply(
+                vs, clips.astype(jnp.float32), train=True,
+                mutable=["batch_stats"])
+            z = logits[:, 0]
+            w = 1.0 + labels.astype(jnp.float32) * 0.0
+            loss = jnp.mean(w * (jnp.maximum(z, 0) - z * labels
+                                 + jnp.log1p(jnp.exp(-jnp.abs(z)))))
+            return loss, mut
+        (loss, _), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        gsum = sum(jnp.sum(jnp.abs(g).astype(jnp.float32))
+                   for g in jax.tree_util.tree_leaves(grads))
+        return loss + gsum * jnp.float32(1e-30) + carry * jnp.float32(1e-30)
+
+    ctrain = jax.jit(train_step).lower(
+        state.params, state.batch_stats, clips_u8, labels,
+        jnp.float32(0.0)).compile()
+    fl_train = float(ctrain.cost_analysis()["flops"])
+    ms_train = 1e3 * _time_step(jax.jit(train_step), state.params,
+                                state.batch_stats, clips_u8, labels)
+    out["train_gflop_per_clip"] = round(fl_train / BATCH / 1e9, 2)
+    out["train_ms_per_step_b8"] = round(ms_train, 2)
+    out["train_clips_per_sec"] = round(BATCH / (ms_train / 1e3), 1)
+    out["train_mfu_bf16"] = round(fl_train / (ms_train / 1e3) / PEAK_BF16, 3)
+
+    # --- int8 engine --------------------------------------------------------
+    from fac_fake_tpu.compat.quantize_s3d import quantize_s3d
+    calib = jnp.asarray(gen.integers(
+        0, 255, (2, FRAMES, SIZE, SIZE, 3), dtype=np.uint8), jnp.float32)
+    engine = quantize_s3d(model, variables, calib)
+
+    def qfwd(vs, qp, clips, carry):
+        return jnp.sum(engine._int8_forward(vs, qp, clips)) \
+            + carry * jnp.float32(1e-30)
+
+    ms_int8 = 1e3 * _time_step(jax.jit(qfwd), variables, engine.qparams,
+                               clips_u8)
+    out["int8_ms_per_step_b8"] = round(ms_int8, 2)
+    out["int8_clips_per_sec"] = round(BATCH / (ms_int8 / 1e3), 1)
+    # same conv arithmetic, int8 rate: utilization vs the 394 TOP/s peak
+    out["int8_mfu_vs_int8_peak"] = round(
+        fl_eval / (ms_int8 / 1e3) / PEAK_INT8, 3)
+    out["int8_speedup_vs_bf16"] = round(ms_eval / ms_int8, 3)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
