@@ -28,6 +28,9 @@ def main(argv=None):
     p.add_argument("--model", default="s3d")
     p.add_argument("--no-degrade", action="store_true",
                    help="skip the reference's p=1 degradation augs")
+    p.add_argument("--quantize", default="none", choices=("none", "int8"),
+                   help="int8: PTQ engine (compat/quantize_s3d), calibrated "
+                        "on the first scored batch; pays at batch>=16")
     p.add_argument("--out-prefix", default="s3d_eval")
 
     p = sub.add_parser("csv")
@@ -113,7 +116,8 @@ def main(argv=None):
     samples = discover_video_folders(args.clips_root, args.metadata)
     ds = ClipDataset(samples, frames_per_video=t,
                      image_size=cfg.model.image_size, snippet="strided")
-    ev = S3DEvaluator(model, variables, degrade=not args.no_degrade)
+    ev = S3DEvaluator(model, variables, degrade=not args.no_degrade,
+                      quantize=args.quantize)
     out = ev.evaluate(ds, out_prefix=args.out_prefix,
                       model_name=cfg.model.name)
     print(out)

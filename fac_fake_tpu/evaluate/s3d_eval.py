@@ -35,11 +35,26 @@ def degrade_frame(img_rgb: np.ndarray, rng: np.random.Generator,
 
 
 class S3DEvaluator:
-    def __init__(self, model, variables, degrade: bool = True, seed: int = 0):
+    """S3D scoring/evaluation (`S3D-test.py:260-286` replacement).
+
+    `quantize="int8"` swaps the forward for the PTQ engine
+    (`compat/quantize_s3d.py`), calibrated lazily on the first batch it
+    scores (the `VideoScorer._maybe_quantize` convention). int8 pays at
+    serving batch sizes — measured +21% at b32 on v5e — while per-video
+    b1 scoring is per-op-overhead-bound where int8 loses ~20% (README "S3D
+    performance"); use it with `predict_batch`.
+    """
+
+    def __init__(self, model, variables, degrade: bool = True, seed: int = 0,
+                 quantize: str = "none"):
+        if quantize not in ("none", "int8"):
+            raise ValueError(f"quantize must be none|int8, got {quantize!r}")
         self.model = model
         self.variables = jax.device_put(variables)
         self.degrade = degrade
         self.seed = seed
+        self.quantize = quantize
+        self._engine = None
 
         @jax.jit
         def fwd(v, clip):
@@ -48,13 +63,30 @@ class S3DEvaluator:
 
         self._fwd = fwd
 
+    def _probs(self, clips_u8: np.ndarray) -> np.ndarray:
+        """(B, T, H, W, 3) uint8 → (B, num_class) probabilities."""
+        clips = jnp.asarray(clips_u8)
+        if self.quantize == "int8":
+            if self._engine is None:
+                from fac_fake_tpu.compat.quantize_s3d import quantize_s3d
+                self._engine = quantize_s3d(
+                    self.model, self.variables,
+                    clips[:2].astype(jnp.float32))
+            return np.asarray(jax.nn.sigmoid(self._engine(clips)))
+        return np.asarray(self._fwd(self.variables, clips))
+
+    def predict_batch(self, clips_u8: np.ndarray) -> np.ndarray:
+        """Batched serving forward: (B, T, H, W, 3) uint8 → (B,) video
+        fake-probabilities (no degradation — serving scores clean clips)."""
+        return self._probs(clips_u8).reshape(clips_u8.shape[0], -1).mean(-1)
+
     def predict_video(self, clip_u8: np.ndarray,
                       rng: Optional[np.random.Generator] = None) -> float:
         """clip (T, H, W, 3) uint8 → video fake-probability."""
         rng = rng or np.random.default_rng(self.seed)
         if self.degrade:
             clip_u8 = np.stack([degrade_frame(f, rng) for f in clip_u8])
-        probs = np.asarray(self._fwd(self.variables, jnp.asarray(clip_u8[None])))
+        probs = self._probs(clip_u8[None])
         return custom_video_round(probs.reshape(-1).tolist())
 
     def evaluate(self, dataset: ClipDataset, out_prefix: Optional[str] = None,

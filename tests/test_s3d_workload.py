@@ -239,6 +239,40 @@ def test_s3d_evaluator_and_metrics(tmp_path):
     assert os.path.exists(str(tmp_path / "roc_fpr.txt"))
 
 
+def test_s3d_evaluator_int8_serving(tmp_path):
+    """quantize="int8": lazy first-batch calibration, predict_batch probs
+    track the fp evaluator, predict_video stays in [0,1] — the served form
+    of the b32 +21% bench win (README "S3D performance")."""
+    import jax
+    import jax.numpy as jnp
+    from fac_fake_tpu.evaluate.s3d_eval import S3DEvaluator
+    from fac_fake_tpu.models.s3d.model import S3DNet
+
+    spec = (("sep", 8, 3, 2, 1, "relu", True),
+            ("pool", (1, 3, 3), (1, 2, 2), (0, 1, 1)),
+            ("basic", 16, 1, 1, 0, "relu"),
+            ("mix", "3b", "relu", True))
+    model = S3DNet(spec=spec, num_class=1)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 4, 32, 32, 3)))
+
+    fp = S3DEvaluator(model, variables, degrade=False)
+    q = S3DEvaluator(model, variables, degrade=False, quantize="int8")
+    assert q._engine is None                       # lazy until first batch
+
+    clips = np.random.default_rng(0).integers(
+        0, 255, (4, 4, 32, 32, 3), dtype=np.uint8)
+    p_fp = fp.predict_batch(clips)
+    p_q = q.predict_batch(clips)
+    assert q._engine is not None
+    assert p_q.shape == p_fp.shape == (4,)
+    np.testing.assert_allclose(p_q, p_fp, atol=0.05)   # PTQ noise on sigmoid
+
+    v = q.predict_video(clips[0])
+    assert 0.0 <= v <= 1.0
+    with pytest.raises(ValueError):
+        S3DEvaluator(model, variables, quantize="fp8")
+
+
 def test_prediction_csv_metrics(tmp_path):
     import pandas as pd
     pd.DataFrame({"filename": ["a.mp4", "b.mp4", "c.mp4"],
