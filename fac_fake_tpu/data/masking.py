@@ -24,7 +24,19 @@ import numpy as np
 
 def landmarks_from_blazeface(detector, img_rgb: np.ndarray) -> Optional[np.ndarray]:
     """Returns 5-point landmarks [(x,y)×(l_eye, r_eye, nose, mouth_l, mouth_r)]
-    in pixel coords, or None if no face."""
+    in pixel coords (image order: l_eye.x < r_eye.x), or None if no face.
+
+    BlazeFace keypoint 0 is the SUBJECT's right eye — the left one in image
+    coordinates, which is what the mask geometry's "left eye" means
+    (`mask_regions` builds the left-of-left-eye region from lm[0]); verified
+    against real detections (round 5 — the pre-fix adapter had the eyes
+    swapped AND offset the mouth corners by ±15% of the *frame* width, a
+    half-frame-wide "mouth" on landscape video; the mask-geometry harness's
+    0% sanity rate caught both, `tools/detector_agreement.py --masks`).
+    Mouth corners are approximated at ±0.4× the inter-ocular distance
+    (anthropometric mouth width ≈ 0.8× interocular) around BlazeFace's
+    mouth-center keypoint — MTCNN provides true corners when its weights
+    exist (`landmarks_from_mtcnn`)."""
     import cv2
     h, w = img_rgb.shape[:2]
     tile = cv2.resize(img_rgb, (128, 128), interpolation=cv2.INTER_AREA)
@@ -35,9 +47,11 @@ def landmarks_from_blazeface(detector, img_rgb: np.ndarray) -> Optional[np.ndarr
         return None
     kp = faces[0, 4:16].reshape(6, 2)  # (x, y) normalized to the 128 tile
     kp = kp * np.array([w, h])
-    r_eye, l_eye, nose, mouth = kp[0], kp[1], kp[2], kp[3]
-    dx = 0.15 * w
-    return np.array([l_eye, r_eye, nose,
+    eye_l, eye_r, nose, mouth = kp[0], kp[1], kp[2], kp[3]
+    if eye_l[0] > eye_r[0]:            # guard: keep image order regardless
+        eye_l, eye_r = eye_r, eye_l
+    dx = 0.4 * float(np.linalg.norm(eye_r - eye_l))
+    return np.array([eye_l, eye_r, nose,
                      [mouth[0] - dx, mouth[1]], [mouth[0] + dx, mouth[1]]])
 
 

@@ -54,6 +54,46 @@ def test_mask_regions_geometry():
     assert np.array_equal(apply_face_mask(img, None, [0], "black", 4), img)
 
 
+def test_landmarks_from_blazeface_image_order_and_mouth_scale():
+    """The BlazeFace→5-point adapter must return IMAGE-ordered eyes
+    (l_eye.x < r_eye.x — what `mask_regions` means by 'left') and
+    face-relative mouth corners (±0.4× interocular), regardless of which
+    keypoint slot carries which eye. Round-5 regression: the pre-fix adapter
+    swapped the eyes and used ±15% of the FRAME width for the mouth — the
+    real-landmark mask harness measured a 0% geometry-sanity rate."""
+    from fac_fake_tpu.data.masking import landmarks_from_blazeface
+
+    class StubDet:
+        def __init__(self, kp01):
+            self.kp01 = kp01     # normalized (x, y) pairs for 6 keypoints
+
+        def predict_on_batch(self, tiles):
+            face = np.zeros((1, 17), np.float32)
+            face[0, 4:16] = np.asarray(self.kp01, np.float32).reshape(-1)
+            return face[None], np.array([[True]])
+
+    img = np.zeros((200, 400, 3), np.uint8)       # landscape: w=400, h=200
+    # keypoint 0 (subject's right eye) on the image LEFT, kp1 on the right
+    kp = [[0.30, 0.40], [0.50, 0.40], [0.40, 0.50],
+          [0.40, 0.60], [0.1, 0.4], [0.7, 0.4]]
+    lm = landmarks_from_blazeface(StubDet(kp), img)
+    assert lm[0][0] < lm[1][0]                    # image order
+    np.testing.assert_allclose(lm[0], [120, 80])  # 0.30*400, 0.40*200
+    np.testing.assert_allclose(lm[1], [200, 80])
+    inter = 80.0                                  # |200-120|
+    np.testing.assert_allclose(lm[4][0] - lm[3][0], 0.8 * inter)
+    np.testing.assert_allclose([lm[3][1], lm[4][1]], 120, rtol=1e-6)  # mouth y
+    # swapped slots (mirrored video): the guard restores image order
+    kp_sw = [kp[1], kp[0]] + kp[2:]
+    lm2 = landmarks_from_blazeface(StubDet(kp_sw), img)
+    np.testing.assert_allclose(lm2, lm)
+    # no face
+    class NoFace:
+        def predict_on_batch(self, tiles):
+            return np.zeros((1, 1, 17)), np.array([[False]])
+    assert landmarks_from_blazeface(NoFace(), img) is None
+
+
 def test_mask_regions_68_geometry():
     """68-landmark variant (`get_masked_face.py:24-43`): hand-check the eye
     box padding math and the 3-region masking behavior."""
