@@ -7,12 +7,14 @@ warm and throughputs exist to cross-check:
 
     python tools/s3d_mfu.py            # → one JSON dict on stdout
 
-Prints, for the ca_s3d bench workload (b8, 20×224², bf16):
+Prints, for the ca_s3d workloads (20×224² clips, bf16):
   * eval forward FLOPs (XLA cost analysis) and GFLOP/clip;
-  * train step FLOPs (loss+grad, the trainer's arithmetic);
-  * measured ms/step for both (chained-carry timing, device-resident input);
+  * train step FLOPs (loss+grad, the trainer's arithmetic) at b8;
+  * measured ms/step (chained-carry timing, device-resident input);
   * MFU vs the v5e 197 TFLOP/s bf16 peak;
-  * the int8 engine's step time and its MFU vs the 394 TOP/s int8 peak.
+  * the int8 engine's step time at the serving batch (b32 — where int8
+    wins; at b8 the step is per-op-overhead-bound and int8 loses, README
+    "S3D performance") and its MFU vs the 394 TOP/s int8 peak.
 
 The reference scoring loop this accounts for: `S3D/S3D-test.py:260-286`;
 training: `S3D-train.py:318-443`.
@@ -28,6 +30,7 @@ PEAK_BF16 = 197e12   # v5e per-chip
 PEAK_INT8 = 394e12
 
 BATCH, FRAMES, SIZE = 8, 20, 224
+EVAL_BATCH = 32      # serving batch: amortizes the 180-conv per-op overhead
 
 
 def _time_step(step, *args, iters=12):
@@ -61,7 +64,7 @@ def main():
         0, 255, (BATCH, FRAMES, SIZE, SIZE, 3), dtype=np.uint8))
     out = {}
 
-    # --- eval forward ------------------------------------------------------
+    # --- eval forward (b8: the overhead-bound case; b32: serving) ----------
     def fwd(v, clips, carry):
         logits = model.apply(v, clips.astype(jnp.float32), train=False)
         return jnp.sum(logits) + carry * jnp.float32(1e-30)
@@ -72,8 +75,16 @@ def main():
     ms_eval = 1e3 * _time_step(jax.jit(fwd), variables, clips_u8)
     out["eval_gflop_per_clip"] = round(fl_eval / BATCH / 1e9, 2)
     out["eval_ms_per_step_b8"] = round(ms_eval, 2)
-    out["eval_clips_per_sec"] = round(BATCH / (ms_eval / 1e3), 1)
-    out["eval_mfu_bf16"] = round(fl_eval / (ms_eval / 1e3) / PEAK_BF16, 3)
+    out["eval_clips_per_sec_b8"] = round(BATCH / (ms_eval / 1e3), 1)
+    out["eval_mfu_bf16_b8"] = round(fl_eval / (ms_eval / 1e3) / PEAK_BF16, 3)
+
+    clips32 = jax.device_put(gen.integers(
+        0, 255, (EVAL_BATCH, FRAMES, SIZE, SIZE, 3), dtype=np.uint8))
+    ms_eval32 = 1e3 * _time_step(jax.jit(fwd), variables, clips32)
+    fl_clip = fl_eval / BATCH
+    out["eval_clips_per_sec_b32"] = round(EVAL_BATCH / (ms_eval32 / 1e3), 1)
+    out["eval_mfu_bf16_b32"] = round(
+        fl_clip * EVAL_BATCH / (ms_eval32 / 1e3) / PEAK_BF16, 3)
 
     # --- train step (loss + grads, the trainer's arithmetic) ---------------
     trainer = Trainer(model, cfg, loss_kwargs={"pos_weight": 1.0},
@@ -119,13 +130,13 @@ def main():
             + carry * jnp.float32(1e-30)
 
     ms_int8 = 1e3 * _time_step(jax.jit(qfwd), variables, engine.qparams,
-                               clips_u8)
-    out["int8_ms_per_step_b8"] = round(ms_int8, 2)
-    out["int8_clips_per_sec"] = round(BATCH / (ms_int8 / 1e3), 1)
+                               clips32)
+    out["int8_ms_per_step_b32"] = round(ms_int8, 2)
+    out["int8_clips_per_sec_b32"] = round(EVAL_BATCH / (ms_int8 / 1e3), 1)
     # same conv arithmetic, int8 rate: utilization vs the 394 TOP/s peak
     out["int8_mfu_vs_int8_peak"] = round(
-        fl_eval / (ms_int8 / 1e3) / PEAK_INT8, 3)
-    out["int8_speedup_vs_bf16"] = round(ms_eval / ms_int8, 3)
+        fl_clip * EVAL_BATCH / (ms_int8 / 1e3) / PEAK_INT8, 3)
+    out["int8_speedup_vs_bf16_b32"] = round(ms_eval32 / ms_int8, 3)
 
     print(json.dumps(out))
 
