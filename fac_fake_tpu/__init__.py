@@ -2,17 +2,26 @@
 import os
 
 
+def _cpu_is_primary(platforms):
+    """True when the FIRST platform in a JAX platform list is cpu.
+
+    The guard must key on the primary platform only: accelerator transports
+    commonly carry cpu as a trailing fallback (e.g. ``axon,cpu``), and a
+    substring test would disable caching for every accelerator run."""
+    return str(platforms or "").lower().split(",")[0].strip() == "cpu"
+
+
 def _enable_compilation_cache():
     """Persistent XLA compilation cache: cold-start compiles of the detector
     and backbone graphs are expensive through remote-compile transports;
     caching makes every later process start warm."""
-    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+    if _cpu_is_primary(os.environ.get("JAX_PLATFORMS", "")):
         # CPU AOT executables are machine-feature-specific; a shared cache
         # across hosts risks SIGILL. Cache only accelerator backends.
         return
     try:
         import jax
-        if "cpu" in str(getattr(jax.config, "jax_platforms", None) or "").lower():
+        if _cpu_is_primary(getattr(jax.config, "jax_platforms", None)):
             # platform switched to CPU via the config API (the env var is
             # latched by sitecustomize, so ad-hoc CPU scripts do this) —
             # same machine-feature hazard as the env guard above
