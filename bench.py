@@ -268,11 +268,18 @@ def _stage_s3d():
         float(step(*args, carry))
         per_call = time.perf_counter() - t0
         iters = max(4, min(24, int(2.0 / max(per_call, 1e-3))))
-        t1 = time.perf_counter()
-        for _ in range(iters):
-            carry = step(*args, carry)   # chained: one final fetch waits
-        float(carry)
-        return b32 * iters / (time.perf_counter() - t1)
+        # best of two timed windows: a transient relay stall in either the
+        # probe (shrinking iters) or a single window once recorded a 5×-low
+        # int8 row (173.9 vs the stable ~1,000 clips/s); throughput under
+        # external contention is the max over windows, not a single draw
+        best = 0.0
+        for _ in range(2):
+            t1 = time.perf_counter()
+            for _ in range(iters):
+                carry = step(*args, carry)  # chained: one final fetch waits
+            float(carry)
+            best = max(best, b32 * iters / (time.perf_counter() - t1))
+        return best
 
     @jax.jit
     def fstep(v, clips, carry):
