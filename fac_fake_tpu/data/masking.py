@@ -3,15 +3,16 @@
 Re-designs `S3D/face_mask/get_masked_face_simple.py`: the face splits into 8
 rectangular regions around the eyes/mouth derived from 5-point landmarks; a
 random subset of `mask_number` regions is filled with black or N(0,1) noise.
-Landmarks are cached per image id as `{tempdir}/{img_id}.npy`
-(`get_masked_face_simple.py:22-40`), exactly like the reference's temp-cache
-scheme.
+Landmarks are cached per image id as `{tempdir}/{img_id}.lmv{N}.npy`
+(`get_masked_face_simple.py:22-40` — the reference's temp-cache scheme, plus
+a geometry-schema version tag so adapter fixes invalidate old entries).
 
 Landmark source: the reference uses a CPU MTCNN; here the in-repo BlazeFace
-detector supplies keypoints (right-eye, left-eye, nose, mouth-center, ears —
-`blazeface.py` keypoint order). Mouth corners are approximated from the mouth
-center ± 15 % of the face width (augmentation-level fidelity; the region
-geometry `:48-72` is exact given landmarks).
+detector supplies keypoints (`landmarks_from_blazeface`: image-ordered eyes,
+mouth corners at ±0.4× the inter-ocular distance around BlazeFace's
+mouth-center keypoint — augmentation-level fidelity; the region geometry
+`:48-72` is exact given landmarks, and `landmarks_from_mtcnn` supplies true
+corners once cascade weights are imported).
 """
 from __future__ import annotations
 
@@ -228,8 +229,18 @@ def apply_face_mask(img: np.ndarray, landmarks: Optional[np.ndarray],
     return np.uint8(out * 255)
 
 
+# Landmark-geometry schema version, part of every cache filename: bumping it
+# orphans entries written under older adapter semantics (v2 = the round-5
+# eye-order + mouth-width fix — pre-fix caches held swapped eyes and
+# ±15%-of-frame mouth corners, and reusing them by bare img_id would silently
+# re-poison the mask geometry the fix repaired).
+_LANDMARK_SCHEMA = 2
+
+
 class LandmarkCache:
-    """tempdir .npy landmark cache (`get_masked_face_simple.py:22-40`)."""
+    """tempdir .npy landmark cache (`get_masked_face_simple.py:22-40`);
+    entries are keyed `{img_id}.lmv{_LANDMARK_SCHEMA}.npy` so stale-geometry
+    files from older code versions are never read back."""
 
     def __init__(self, tempdir: str, detector=None):
         self.tempdir = tempdir
@@ -244,7 +255,8 @@ class LandmarkCache:
         return self._detector
 
     def get(self, img_rgb: np.ndarray, img_id: str) -> Optional[np.ndarray]:
-        path = os.path.join(self.tempdir, f"{img_id}.npy")
+        path = os.path.join(self.tempdir,
+                            f"{img_id}.lmv{_LANDMARK_SCHEMA}.npy")
         if os.path.exists(path):
             try:
                 return np.load(path)

@@ -248,7 +248,7 @@ class ChunkPrefetcher:
     29-crop early exit must not pay for a speculative chunk's full decode.
     """
 
-    def __init__(self, make_gen):
+    def __init__(self, make_gen, item_frames=None):
         import queue
         import threading
         self._stop = threading.Event()
@@ -259,6 +259,13 @@ class ChunkPrefetcher:
         # wrapped generator — the serial-resource cost the 1-core host pays
         # per video even with perfect overlap (PARITY "video-path breakdown")
         self.decode_s = 0.0
+        # producer-side frame count via `item_frames(item)` (the predictor
+        # passes `len(item[0])`). Must be counted where decode_s is: with the
+        # 29-crop early exit the consumer never iterates the speculative
+        # buffered chunk, so a consumer-side count would pair ~1 chunk of
+        # decode seconds with zero frames and bias ms/frame high.
+        self.frames = 0
+        self._item_frames = item_frames
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 
@@ -289,6 +296,8 @@ class ChunkPrefetcher:
                 except StopIteration:
                     break
                 self.decode_s += time.perf_counter() - t0
+                if self._item_frames is not None:
+                    self.frames += self._item_frames(item)
                 if not self._put(item):   # 1-deep queue: decode stays 1 ahead
                     break
         except Exception as e:

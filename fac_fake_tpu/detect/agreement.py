@@ -173,7 +173,10 @@ def mask_geometry_report(video_paths: Sequence[str],
         if n <= 0:
             continue
         idxs = evenly_spaced_indices(n, min(frames_per_video, n))
-        frames, _ = reader.read_frames_at_indices(path, idxs)
+        decoded = reader.read_frames_at_indices(path, idxs)
+        if decoded is None:   # metadata said n>0 but the stream won't decode
+            continue          # (truncated file): skip it, keep other videos
+        frames, _ = decoded
         hits, sane, area_fracs, masked_fracs = 0, 0, [], []
         for frame in frames:
             lm = landmarks_fn(frame)
@@ -232,7 +235,10 @@ def agreement_report(video_paths: Sequence[str], det_a: Callable,
         if n <= 0:
             continue
         idxs = evenly_spaced_indices(n, min(frames_per_video, n))
-        frames, _ = reader.read_frames_at_indices(path, idxs)
+        decoded = reader.read_frames_at_indices(path, idxs)
+        if decoded is None:   # metadata said n>0 but the stream won't decode
+            continue          # (truncated file): skip it, keep other videos
+        frames, _ = decoded
         rec = video_agreement(frames, det_a, det_b, iou_thr)
         if scorers is not None:
             sa, sb = scorers

@@ -226,9 +226,10 @@ class VideoScorer:
         # breakdown"). Timing only: detection sees the same frames in order.
         stream = ChunkPrefetcher(
             lambda stop: self.reader.stream_frames_at_indices(
-                video_path, idxs, self.GATHER_CHUNK, stop=stop))
+                video_path, idxs, self.GATHER_CHUNK, stop=stop),
+            item_frames=lambda item: len(item[0]))
         stats = getattr(self, "stage_stats", None)  # opt-in breakdown timers
-        detect_s, frames_read = 0.0, 0
+        detect_s = 0.0
         try:
             for frames, _ in stream:
                 t0 = time.perf_counter() if stats is not None else 0.0
@@ -245,15 +246,15 @@ class VideoScorer:
                                 interpolation=cv2.INTER_AREA))
                 if stats is not None:
                     detect_s += time.perf_counter() - t0
-                    frames_read += len(frames)
                 if len(crops) >= 29:
                     break
         finally:
             stream.close()   # early exit: abort the speculative decode now
-            if stats is not None:
-                stats["decode_s"] += stream.decode_s
-                stats["detect_s"] += detect_s
-                stats["frames"] += frames_read
+            # decode_s AND frames both come producer-side from the stream
+            # (close() joined the worker, so both are final): the early-exit
+            # speculative chunk's seconds and frames stay paired.
+            self._stats_add(decode_s=stream.decode_s, detect_s=detect_s,
+                            frames=stream.frames)
         if not crops:
             return np.zeros((0, size, size, 3), np.uint8)
         return np.stack(crops)
@@ -303,7 +304,7 @@ class VideoScorer:
         prob = float(self._score(self.variables, self._put_crops(padded),
                                  jnp.asarray(min(n, cap), jnp.int32)))
         if stats is not None:
-            stats["score_s"] += time.perf_counter() - t0
+            self._stats_add(score_s=time.perf_counter() - t0)
         return prob
 
     def score_video(self, video_path: str) -> float:
@@ -328,14 +329,28 @@ class VideoScorer:
     def enable_stage_stats(self) -> dict:
         """Opt-in per-stage timers for the video path: accumulated decode /
         detect / score seconds + frames decoded across subsequent
-        gather/score calls. Decode is producer-side time inside the chunk
-        generator (the 1-core host's serial resource — its per-video cost is
-        the latency floor PARITY.md "video-path breakdown" pins); detect and
-        score overlap it via `ChunkPrefetcher`, so the three shares are
-        component costs, not additive wall-clock."""
+        gather/score calls. Decode seconds AND the frame count are both
+        producer-side, from inside the chunk generator (the 1-core host's
+        serial resource — its per-video cost is the latency floor PARITY.md
+        "video-path breakdown" pins), so ms/frame stays unbiased under the
+        29-crop early exit; detect and score overlap it via
+        `ChunkPrefetcher`, so the three shares are component costs, not
+        additive wall-clock. Accumulation is lock-guarded: score_videos[
+        _batched] gathers on a thread pool, and concurrent read-add-stores
+        on a plain dict would drop increments on multi-core hosts."""
+        import threading
+        self._stats_lock = threading.Lock()
         self.stage_stats = {"decode_s": 0.0, "detect_s": 0.0,
                             "score_s": 0.0, "frames": 0}
         return self.stage_stats
+
+    def _stats_add(self, **deltas) -> None:
+        stats = getattr(self, "stage_stats", None)
+        if stats is None:
+            return
+        with self._stats_lock:
+            for k, v in deltas.items():
+                stats[k] += v
 
     @staticmethod
     def default_workers() -> int:
@@ -402,7 +417,7 @@ class VideoScorer:
         probs = np.asarray(self._batched_fn(v_cap)(
             self.variables, self._put_crops(packed), jnp.asarray(counts)))
         if stats is not None:
-            stats["score_s"] += time.perf_counter() - t0
+            self._stats_add(score_s=time.perf_counter() - t0)
         for k, (i, _) in enumerate(chunk):
             results[i] = float(probs[k])
 

@@ -357,6 +357,33 @@ def test_scorer_stage_stats_accumulate():
     assert st["score_s"] > before          # _score_packed accumulates too
 
 
+def test_chunk_prefetcher_counts_frames_producer_side():
+    """`frames` pairs with `decode_s` on the PRODUCER side: a chunk the
+    consumer never reads (the 29-crop early exit's speculative decode) must
+    still be counted, or bench's ms/frame row biases high by ~1 chunk."""
+    import time as _time
+
+    import numpy as np
+    from fac_fake_tpu.data.video import ChunkPrefetcher
+
+    def gen_chunks(stop):
+        for i in range(3):
+            if stop():
+                return
+            yield np.zeros((4, 2, 2, 3), np.uint8), list(range(4))
+
+    pf = ChunkPrefetcher(gen_chunks, item_frames=lambda item: len(item[0]))
+    next(pf)                        # consume chunk 0 only
+    _time.sleep(0.2)                # worker decodes chunk 1 into the buffer
+    pf.close()                      # early exit: chunk 1 never consumed
+    assert pf.frames >= 8, pf.frames   # chunks 0 AND 1 counted
+    # and a counter-less prefetcher stays at 0 (non-chunk streams)
+    pf2 = ChunkPrefetcher(gen_chunks)
+    list(pf2)
+    pf2.close()
+    assert pf2.frames == 0
+
+
 def test_chunk_prefetcher_close_is_fast_with_saturated_producer():
     """Regression: close() while the worker is blocked in put() must not
     eat the 10 s join timeout. The old sentinel put raced close()'s drain —

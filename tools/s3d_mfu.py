@@ -69,10 +69,13 @@ def main():
         logits = model.apply(v, clips.astype(jnp.float32), train=False)
         return jnp.sum(logits) + carry * jnp.float32(1e-30)
 
+    # one lowering per graph: the compiled executable supplies BOTH the FLOP
+    # count and the timed step (a fresh jax.jit wrapper would re-trace and
+    # re-compile the same HLO — ~90 s for CA_S3D via the remote compiler)
     compiled = jax.jit(fwd).lower(
         variables, clips_u8, jnp.float32(0.0)).compile()
     fl_eval = float(compiled.cost_analysis()["flops"])
-    ms_eval = 1e3 * _time_step(jax.jit(fwd), variables, clips_u8)
+    ms_eval = 1e3 * _time_step(compiled, variables, clips_u8)
     out["eval_gflop_per_clip"] = round(fl_eval / BATCH / 1e9, 2)
     out["eval_ms_per_step_b8"] = round(ms_eval, 2)
     out["eval_clips_per_sec_b8"] = round(BATCH / (ms_eval / 1e3), 1)
@@ -80,7 +83,9 @@ def main():
 
     clips32 = jax.device_put(gen.integers(
         0, 255, (EVAL_BATCH, FRAMES, SIZE, SIZE, 3), dtype=np.uint8))
-    ms_eval32 = 1e3 * _time_step(jax.jit(fwd), variables, clips32)
+    compiled32 = jax.jit(fwd).lower(
+        variables, clips32, jnp.float32(0.0)).compile()
+    ms_eval32 = 1e3 * _time_step(compiled32, variables, clips32)
     fl_clip = fl_eval / BATCH
     out["eval_clips_per_sec_b32"] = round(EVAL_BATCH / (ms_eval32 / 1e3), 1)
     out["eval_mfu_bf16_b32"] = round(
@@ -112,7 +117,7 @@ def main():
         state.params, state.batch_stats, clips_u8, labels,
         jnp.float32(0.0)).compile()
     fl_train = float(ctrain.cost_analysis()["flops"])
-    ms_train = 1e3 * _time_step(jax.jit(train_step), state.params,
+    ms_train = 1e3 * _time_step(ctrain, state.params,
                                 state.batch_stats, clips_u8, labels)
     out["train_gflop_per_clip"] = round(fl_train / BATCH / 1e9, 2)
     out["train_ms_per_step_b8"] = round(ms_train, 2)
